@@ -1,0 +1,151 @@
+"""Standard scenes — the S1-S5 variant configurations of the reference
+(SURVEY.md §2.1), expressed as (SimConfig, FluidParams, SimState) triples.
+
+Each scene cites the reference file whose constants it reproduces. Unlike the
+reference — where each variant is a separate 400-700 line implementation —
+all scenes here run through the same engine; the variant differences are pure
+configuration.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.params import BC_FRICTION, BC_SLIP, FluidParams, SimConfig
+from ..core.state import SimState, make_state
+from .emitters import box_lattice
+
+
+class Scene(NamedTuple):
+    name: str
+    config: SimConfig
+    fluid: FluidParams
+    state: SimState
+
+
+def dam_break_2d(grid_res: int = 64, box: float = 32.0, spacing: float = 1.0) -> Scene:
+    """S1 — 2D serial fluid (mls-mpm/2d/fluid/MLSMPM2DFluid.cs:22-40,126-141):
+    64^2 grid, 32^2 box at spacing 1.0 -> 1,024 particles, dt 0.2,
+    5 substeps/frame, eos_stiffness 10, eos_power 7, slip BC, gravity +y 0.3,
+    clamp [1, res-2], wall_min 2 / stiffness 0.5."""
+    pos = box_lattice((grid_res, grid_res), (box, box), spacing)
+    config = SimConfig(
+        grid_res=(grid_res, grid_res),
+        num_particles=pos.shape[0],
+        substeps=5,
+        bc=BC_SLIP,
+        bc_band_lo=2,
+        bc_band_hi=2,
+        clamp_lo=1.0,
+        clamp_hi_offset=2.0,
+        wall_min=2.0,
+        wall_max_offset=3.0,  # wall_max = res - 1 - wall_min (MLSMPM2DFluid.cs:412)
+        wall_stiffness=0.5,
+        legacy_strain=True,
+        bin_capacity=8,
+    )
+    fluid = FluidParams.create(
+        dim=2, dt=0.2, gravity=(0.0, 0.3), eos_stiffness=10.0, eos_power=7.0
+    )
+    return Scene("dam_break_2d", config, fluid, make_state(pos))
+
+
+def fluid_2d_friction(grid_res: int = 64, box: float = 32.0, spacing: float = 1.0) -> Scene:
+    """S2 — 2D multithreaded variant
+    (mls-mpm/2d/fluid_multithread/MLSMPM2DFluidMultithread.cs:24-42,354-368):
+    same scene as S1 but eos_power 4 and slip+friction walls (friction 0.5,
+    high band `x > res-4`)."""
+    base = dam_break_2d(grid_res, box, spacing)
+    config = base.config.replace(bc=BC_FRICTION, friction=0.5, bc_band_hi=3)
+    fluid = base.fluid.replace(eos_power=4.0)
+    return Scene("fluid_2d_friction", config, fluid, base.state)
+
+
+def fluid_3d_cpu(grid_res: int = 32, box: float = 16.0, spacing: float = 0.5) -> Scene:
+    """S3 — 3D multithreaded CPU variant
+    (mls-mpm/3d/fluid_multithread/MLSMPM3DFluidMultithread.cs:22-40,133-158):
+    32^3 grid, 16^3 box at spacing 0.5 -> 32,768 particles, 5 substeps,
+    eos_stiffness 10, eos_power 4, gravity -y, clamp [1, res-2],
+    wall_min 3 / wall_max res-4 / stiffness 1."""
+    pos = box_lattice((grid_res,) * 3, (box,) * 3, spacing)
+    config = SimConfig(
+        grid_res=(grid_res,) * 3,
+        num_particles=pos.shape[0],
+        substeps=5,
+        clamp_lo=1.0,
+        clamp_hi_offset=2.0,
+        wall_min=3.0,
+        wall_max_offset=4.0,  # wall_max = grid_res - 4 (MLSMPM3DFluidMultithread.cs:581)
+        wall_stiffness=1.0,
+        bin_capacity=16,
+    )
+    fluid = FluidParams.create(dim=3, eos_stiffness=10.0, eos_power=4.0)
+    return Scene("fluid_3d_cpu", config, fluid, make_state(pos))
+
+
+def fluid_3d_fixed_point(grid_res: int = 32, box: float = 16.0, spacing: float = 1.0) -> Scene:
+    """S4 — 3D fixed-point atomics variant
+    (mls-mpm/3d/fluid_multithread_fixed_point/MLSMPM3DFluidMultithreadNew.cs:26-64):
+    32^3 grid, 16^3 box at spacing 1.0 -> 4,096 particles, int32 grid with
+    multiplier 1e7, sphere-collider interaction."""
+    pos = box_lattice((grid_res,) * 3, (box,) * 3, spacing)
+    config = SimConfig(
+        grid_res=(grid_res,) * 3,
+        num_particles=pos.shape[0],
+        substeps=5,
+        clamp_lo=1.0,
+        clamp_hi_offset=2.0,
+        wall_min=3.0,
+        wall_max_offset=4.0,
+        wall_stiffness=1.0,
+        fixed_point=True,
+        bin_capacity=8,
+    )
+    fluid = FluidParams.create(dim=3, eos_stiffness=10.0, eos_power=4.0)
+    return Scene("fluid_3d_fixed_point", config, fluid, make_state(pos))
+
+
+def fluid_3d(grid_res: int = 64, box: float = 32.0, spacing: float = 0.6) -> Scene:
+    """S5 — the flagship 3D GPU variant
+    (mls-mpm/3d/fluid_multithread_gpu/MLSMPM3DFluidMultithreadGPU.cs:43-98,654-671):
+    64^3 grid, 32^3 box at spacing 0.6 -> 157,464 particles, 2 substeps/frame,
+    eos_stiffness 1, eos_power 7, clamp [2, res-2], wall_min 3 / stiffness 1."""
+    pos = box_lattice((grid_res,) * 3, (box,) * 3, spacing)
+    config = SimConfig(
+        grid_res=(grid_res,) * 3,
+        num_particles=pos.shape[0],
+        substeps=2,
+        clamp_lo=2.0,
+        clamp_hi_offset=2.0,
+        wall_min=3.0,
+        wall_max_offset=3.0,  # wall_max = grid_size - wall_min (g2p.glsl:133)
+        wall_stiffness=1.0,
+        bin_capacity=16,
+    )
+    fluid = FluidParams.create(dim=3, eos_stiffness=1.0, eos_power=7.0)
+    return Scene("fluid_3d", config, fluid, make_state(pos))
+
+
+def benchmark_scene(n_target: int, grid_res: int = 64) -> Scene:
+    """Scaled flagship scene for benchmarking: spacing tuned so the centered
+    box holds ~n_target particles at the reference's rest packing."""
+    # box of side b at spacing s holds (b/s)^3 particles; keep box = res/2 * 1.5
+    box = grid_res * 0.75
+    spacing = box / round(n_target ** (1.0 / 3.0))
+    scene = fluid_3d(grid_res=grid_res, box=box, spacing=spacing)
+    return Scene(f"bench_{n_target}", scene.config, scene.fluid, scene.state)
+
+
+SCENES = {
+    "dam_break_2d": dam_break_2d,
+    "fluid_2d_friction": fluid_2d_friction,
+    "fluid_3d_cpu": fluid_3d_cpu,
+    "fluid_3d_fixed_point": fluid_3d_fixed_point,
+    "fluid_3d": fluid_3d,
+}
+
+
+def get_scene(name: str, **kw) -> Scene:
+    return SCENES[name](**kw)

@@ -1,0 +1,68 @@
+"""Constitutive model: weakly-compressible EOS + viscous stress.
+
+Normative numerics (SURVEY.md §2.1; reference p2g_2.glsl:94-109,
+MLSMPM2DFluid.cs:263-285):
+
+    volume   = m / rho
+    pressure = max(floor, k * ((rho / rho0)^gamma - 1))          (Tait/Murnaghan)
+    sigma    = -p I + mu (C + C^T)
+    eq16     = -4 dt V sigma           (fused MLS-MPM force term, eq. 16)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import FluidParams
+
+
+def eos_pressure(density: jax.Array, fp: FluidParams) -> jax.Array:
+    ratio = density / fp.rest_density
+    return jnp.maximum(
+        fp.pressure_floor,
+        fp.eos_stiffness * (ratio**fp.eos_power - 1.0),
+    )
+
+
+def viscous_strain(C: jax.Array, legacy: bool = False) -> jax.Array:
+    """Strain-rate proxy from the APIC affine matrix.
+
+    3D kernels use the full symmetrization C + C^T (p2g_2.glsl:103-105).
+    The 2D serial variant keeps the diagonal unscaled and only symmetrizes the
+    off-diagonals (MLSMPM2DFluid.cs:276-281); `legacy=True` reproduces that
+    for bit-parity trajectory replay of the 2D scene.
+    """
+    Ct = jnp.swapaxes(C, -1, -2)
+    full = C + Ct
+    if not legacy:
+        return full
+    d = C.shape[-1]
+    eye = jnp.eye(d, dtype=C.dtype)
+    # off-diagonals = C_ij + C_ji, diagonal = C_ii
+    return full - eye * Ct
+
+
+def fused_force_term(
+    density: jax.Array,  # [N]
+    mass: jax.Array,  # [N]
+    C: jax.Array,  # [N, D, D]
+    fp: FluidParams,
+    legacy_strain: bool = False,
+) -> jax.Array:
+    """The per-particle eq16 matrix scattered in P2G pass 2 (p2g_2.glsl:96-109).
+
+    Guards density == 0 (a particle whose whole 3^D neighborhood has zero mass
+    cannot happen after P2G pass 1 deposited its own mass, but the guard keeps
+    the masked/padded lanes of the binned fast path finite).
+    """
+    d = C.shape[-1]
+    safe_density = jnp.where(density > 0, density, 1.0)
+    volume = mass / safe_density
+    pressure = eos_pressure(safe_density, fp)
+    eye = jnp.eye(d, dtype=C.dtype)
+    stress = -pressure[..., None, None] * eye + fp.dynamic_viscosity * viscous_strain(
+        C, legacy_strain
+    )
+    eq16 = (-4.0 * fp.dt) * volume[..., None, None] * stress
+    return jnp.where((density > 0)[..., None, None], eq16, 0.0)

@@ -1,0 +1,107 @@
+"""Cross-check: the sorted fast path must match the dense oracle.
+
+This formalizes the reference's implicit oracle pattern — its five variants
+are redundant implementations cross-checked by eye (SURVEY.md §4); here the
+check is numerical and automated.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mpm_tpu import get_scene, make_step
+from mpm_tpu.ops import binned
+from mpm_tpu.ops.binning import bin_particles
+
+
+@pytest.mark.parametrize("scene_name", ["dam_break_2d", "fluid_3d_fixed_point"])
+def test_binned_matches_oracle_one_substep(scene_name):
+    """One substep: only float accumulation order differs (scatter-add vs
+    sorted segment-sum), so agreement must be tight. In fixed-point mode the
+    accumulation is integer and therefore bit-exact."""
+    sc = get_scene(scene_name)
+    ref_step = make_step(sc.config, mode="reference", donate=False, substeps=1)
+    fast_step = make_step(sc.config, mode="binned", donate=False, substeps=1)
+
+    a = ref_step(sc.state, sc.fluid, ()).by_id()
+    b = fast_step(sc.state, sc.fluid, ()).by_id()
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    if sc.config.fixed_point:
+        np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+        np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(b.vel))
+        np.testing.assert_array_equal(np.asarray(a.C), np.asarray(b.C))
+    else:
+        np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.C), np.asarray(b.C), atol=1e-5)
+
+
+def test_binned_matches_oracle_trajectory():
+    """Multiple frames: trajectories drift by accumulation-order noise
+    amplified by the dynamics; band the comparison (SURVEY.md §7 hard part 5)."""
+    sc = get_scene("dam_break_2d")
+    ref_step = make_step(sc.config, mode="reference", donate=False)
+    fast_step = make_step(sc.config, mode="binned", donate=False)
+    s_ref = s_fast = sc.state
+    for _ in range(3):
+        s_ref = ref_step(s_ref, sc.fluid, ())
+        s_fast = fast_step(s_fast, sc.fluid, ())
+    a, b = s_ref.by_id(), s_fast.by_id()
+    np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=2e-3)
+
+
+def test_fixed_point_bit_determinism():
+    """Fixed-point mode must be bit-identical across runs and across particle
+    permutations (int add commutes exactly — the property the reference's
+    atomic design relies on, MLSMPM3DFluidMultithreadNew.cs:336-339)."""
+    sc = get_scene("fluid_3d_fixed_point")
+    step = make_step(sc.config, mode="binned", donate=False)
+    out1 = step(sc.state, sc.fluid, ())
+    out2 = step(sc.state, sc.fluid, ())
+    np.testing.assert_array_equal(np.asarray(out1.pos), np.asarray(out2.pos))
+
+    # permute initial particle order; trajectories must match bit-for-bit
+    # after mapping back to emission order
+    perm = np.random.RandomState(0).permutation(sc.state.num_particles)
+    import mpm_tpu
+
+    shuffled = mpm_tpu.SimState(
+        pos=sc.state.pos[perm],
+        vel=sc.state.vel[perm],
+        C=sc.state.C[perm],
+        mass=sc.state.mass[perm],
+        ids=sc.state.ids[perm],
+    )
+    out3 = step(shuffled, sc.fluid, ())
+    a, b = out1.by_id(), out3.by_id()
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
+
+
+def test_sorted_segment_sum_conserves_mass():
+    sc = get_scene("fluid_3d")
+    state = binned.sort_by_cell(sc.state, sc.config)
+    from mpm_tpu.ops.transfer import tap_geometry
+
+    geom = tap_geometry(state.pos, sc.config)
+    grid = binned.p2g(state, geom, sc.config, sc.fluid)
+    np.testing.assert_allclose(
+        float(jnp.sum(grid.mass)), float(jnp.sum(state.mass)), rtol=1e-6
+    )
+
+
+def test_bin_particles_layout():
+    """K-slot dense binning (reserved for the Pallas kernels): every valid
+    particle lands in the slot of its own cell; no overflow on reference
+    scenes."""
+    sc = get_scene("dam_break_2d")
+    b = bin_particles(sc.state, sc.config)
+    assert int(b.overflow) == 0
+    assert bool(jnp.all(b.valid))
+    np.testing.assert_allclose(
+        float(jnp.sum(b.mass)), float(jnp.sum(sc.state.mass)), rtol=1e-6
+    )
+    # round-trip: unbin recovers the sorted state
+    from mpm_tpu.ops.binning import unbin_field
+
+    pos_rt = unbin_field(b.pos, b.slot, sc.config.dim)
+    np.testing.assert_array_equal(np.asarray(pos_rt), np.asarray(b.state.pos))
