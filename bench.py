@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Headline benchmark: particle-steps/sec at 1M 3D particles on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 1e9 (the BASELINE.md north-star target:
+>= 1e9 particle-steps/sec on one v5e at 1M particles).
+
+Timing uses a device->host fence (see mpm_tpu/utils/timing.py) — never trust
+block_until_ready alone on tunneled platforms.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+
+from mpm_tpu import make_step
+from mpm_tpu.models.scenes import benchmark_scene
+
+
+def main():
+    n_target = 1_000_000
+    scene = benchmark_scene(n_target, grid_res=64)
+    n = scene.state.num_particles
+    print(f"# bench scene: {n} particles, grid {scene.config.grid_res}, "
+          f"device {jax.devices()[0]}", file=sys.stderr)
+
+    step = make_step(scene.config, mode="binned", substeps=1)
+    state = jax.device_put(scene.state)
+
+    # warmup (compile + let the fluid develop a non-trivial configuration)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        state = step(state, scene.fluid, ())
+    np.asarray(state.pos[:1])
+    print(f"# warmup/compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    iters = 100
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state, scene.fluid, ())
+    host = np.asarray(state.pos)
+    dt = time.perf_counter() - t0
+
+    assert np.all(np.isfinite(host)), "simulation produced non-finite positions"
+    value = iters * n / dt
+    print(f"# {iters} substeps in {dt:.3f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": "particle_steps_per_sec_1M_3d",
+        "value": value,
+        "unit": "particle-steps/s",
+        "vs_baseline": value / 1e9,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,19 +1,17 @@
-"""Sorted fast path: sort by cell id + per-tap sorted segment-sums.
+"""Sorted fast path: sort by cell id + scatter-free per-tap segment sums.
 
 This is the TPU-native replacement for the reference's atomic P2G scatter
 (p2g_1.glsl:87-90): particles are sorted by flattened cell id once per
-substep, after which the scatter target of tap t is `cid + const_t` (the taps
-of a row-major grid are constant flat offsets), i.e. *still sorted*. Each P2G
-pass then becomes 3^D deterministic segment-sums with
-`indices_are_sorted=True` — no atomics, no races, bit-stable accumulation
-order (stronger determinism than the reference's atomic float path;
-SURVEY.md §2.5).
+substep; on a row-major grid each of the 3^D taps then scatters to
+`cid + const_offset`, so the particles contributing to any grid cell form a
+*contiguous range* of the sorted arrays. Each P2G pass then becomes 3^D
+deterministic segment sums, computed scatter-free via blocked cumsums
+(see ops/segsum.py) — no atomics, no races, no serial scatter lowering, and
+bit-stable accumulation order (stronger determinism than the reference's
+atomic float path; SURVEY.md §2.5). G2P stays particle-major: its gathers
+use `cid + const` indices which are monotone after the sort.
 
-The sort also gives G2P/density gathers monotone indices (better TPU gather
-locality) and is the basis for particle migration in the sharded path
-(SURVEY.md §5 "Long-context": shard id is a prefix of the cell key).
-
-Particle order: the state returned is in sorted order; `state.ids` tracks
+Particle order: the returned state is in sorted order; `state.ids` tracks
 original emission indices (use `SimState.by_id()` for trajectory replay).
 """
 
@@ -26,72 +24,68 @@ import jax.numpy as jnp
 
 from ..core.params import FluidParams, SimConfig
 from ..core.state import Grid, SimState, zero_grid
-from . import fixed_point, stress
-from . import transfer
-from .binning import cell_ids
+from . import bspline, fixed_point, stress, transfer
 from .grid import update_grid
 from .interact import Interaction
-from .reference import g2p, gather_density
+from .reference import g2p, gather_density, _encode_maybe
+from .segsum import segment_bounds_for_offset, sorted_segment_sum
 
 
-def sort_by_cell(state: SimState, config: SimConfig) -> SimState:
-    cid = cell_ids(state.pos, config)
-    order = jnp.argsort(cid)  # stable -> deterministic
-    return SimState(
-        pos=state.pos[order],
-        vel=state.vel[order],
-        C=state.C[order],
-        mass=state.mass[order],
-        ids=state.ids[order],
-    )
+def sort_by_cell(state: SimState, config: SimConfig):
+    """Sort particles by flat cell id; also return the segment-start table
+    seg_start[c] = index of first particle in cell c (searchsorted — a dense
+    vectorized binary search, no scatter)."""
+    geom_pre = transfer.geometry(state.pos, config)
+    order = jnp.argsort(geom_pre.flat_base)  # stable -> deterministic
+    state = state.permute(order)
+    cid_s = geom_pre.flat_base[order]
+    seg_start = jnp.searchsorted(
+        cid_s, jnp.arange(config.num_cells + 1, dtype=cid_s.dtype)
+    ).astype(jnp.int32)
+    return state, seg_start
 
 
-def _segment_scatter(
-    target_flat: jax.Array,  # [num_cells(, D)]
-    flat_idx: jax.Array,  # [N, T] sorted along N for each fixed tap t
-    contrib: jax.Array,  # [N, T(, D)]
-    config: SimConfig,
-) -> jax.Array:
-    """Accumulate per-tap contributions with sorted segment-sums."""
-    num_cells = config.num_cells
-    t_count = flat_idx.shape[1]
-    out = target_flat
-    for t in range(t_count):
-        c = contrib[:, t]
-        if config.fixed_point:
-            c = fixed_point.encode(c, config.fixed_point_mult)
-        out = out + jax.ops.segment_sum(
-            c, flat_idx[:, t], num_segments=num_cells, indices_are_sorted=True
-        )
-    return out
+def _segsum_block(config: SimConfig) -> int:
+    # int32 fixed-point cumsums must bound |block * mult * contrib| < 2^31
+    return 128 if config.fixed_point else 1024
 
 
 def p2g(
     state: SimState,
-    geom: transfer.TapGeometry,
+    geom: transfer.TransferGeometry,
+    seg_start: jax.Array,
     config: SimConfig,
     fp: FluidParams,
 ) -> Grid:
-    """Both P2G passes (p2g_1.glsl + p2g_2.glsl) using sorted segment-sums."""
+    """Both P2G passes (p2g_1.glsl + p2g_2.glsl), scatter-free."""
+    tap_offs = transfer.flat_tap_offsets(config)
+    block = _segsum_block(config)
     grid0 = zero_grid(config)
-    mass_c, mom_c = transfer.p2g1_contribs(state, geom)
-    gmass = _segment_scatter(grid0.mass.reshape(-1), geom.flat, mass_c, config)
-    gmom = _segment_scatter(
-        grid0.mom.reshape(-1, config.dim), geom.flat, mom_c, config
-    )
-    grid = Grid(
-        mom=gmom.reshape(grid0.mom.shape), mass=gmass.reshape(grid0.mass.shape)
-    )
+    nc = config.num_cells
+
+    gmass, gmom = grid0.mass, grid0.mom
+    for tap, off in zip(bspline.taps(config.dim), tap_offs):
+        mass_c, mom_c = transfer.p2g1_tap_contribs(state, geom.d, tap)
+        s, e = segment_bounds_for_offset(seg_start, off, nc)
+        gmass = gmass + sorted_segment_sum(
+            _encode_maybe(mass_c, config), s, e, block=block
+        )
+        gmom = gmom + sorted_segment_sum(
+            _encode_maybe(mom_c, config), s, e, block=block
+        )
+    grid = Grid(mom=gmom, mass=gmass)
 
     density = gather_density(state, grid, geom, config)
     eq16 = stress.fused_force_term(
         density, state.mass, state.C, fp, config.legacy_strain
     )
-    mom2_c = transfer.p2g2_contribs(eq16, geom)
-    gmom = _segment_scatter(
-        grid.mom.reshape(-1, config.dim), geom.flat, mom2_c, config
-    )
-    return Grid(mom=gmom.reshape(grid0.mom.shape), mass=grid.mass)
+    for tap, off in zip(bspline.taps(config.dim), tap_offs):
+        mom_c = transfer.p2g2_tap_contribs(eq16, geom.d, tap)
+        s, e = segment_bounds_for_offset(seg_start, off, nc)
+        gmom = gmom + sorted_segment_sum(
+            _encode_maybe(mom_c, config), s, e, block=block
+        )
+    return Grid(mom=gmom, mass=gmass)
 
 
 def substep(
@@ -101,8 +95,8 @@ def substep(
     interactions: Sequence[Interaction] = (),
 ) -> SimState:
     """One substep of the normative algorithm on the sorted fast path."""
-    state = sort_by_cell(state, config)
-    geom = transfer.tap_geometry(state.pos, config)
-    grid = p2g(state, geom, config, fp)
+    state, seg_start = sort_by_cell(state, config)
+    geom = transfer.geometry(state.pos, config)
+    grid = p2g(state, geom, seg_start, config, fp)
     grid = update_grid(grid, config, fp)
     return g2p(state, grid, geom, config, fp, interactions)

@@ -12,6 +12,9 @@ mls-mpm/3d/fluid_multithread_gpu/compute_shaders/p2g_1.glsl:47-52).
 The grid spacing dx is 1 in cell units everywhere, and the fixed 4/dx^2
 stiffness factor is folded into the C update (C = 4B, g2p.glsl:108) and the
 force term (eq16 = -4 V sigma dt, p2g_2.glsl:109).
+
+Layout: lane-major — positions are [D, N] with the particle index minor
+(see core/state.py for why).
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ import jax.numpy as jnp
 
 
 def base_cell(pos: jax.Array) -> jax.Array:
-    """Integer base cell index (floor) per particle. [N, D] -> [N, D] int32."""
+    """Integer base cell index (floor) per particle. [D, N] -> [D, N] int32."""
     return jnp.floor(pos).astype(jnp.int32)
 
 
@@ -33,32 +36,35 @@ def cell_diff(pos: jax.Array) -> jax.Array:
     return pos - jnp.floor(pos) - 0.5
 
 
-def weights_1d(d: jax.Array) -> jax.Array:
-    """Per-axis quadratic B-spline weights.
-
-    d: [..., D] fractional offsets -> [..., 3, D] weights (tap index first so
-    weights[..., k, a] is the weight of tap k on axis a).
-    """
-    return jnp.stack(
-        [
-            0.5 * (0.5 - d) ** 2,
-            0.75 - d * d,
-            0.5 * (0.5 + d) ** 2,
-        ],
-        axis=-2,
-    )
-
-
 @lru_cache(maxsize=None)
 def taps(dim: int) -> tuple[tuple[int, ...], ...]:
-    """The 3^D neighborhood tap offsets (0, 1, 2 per axis; cell = base + tap - 1),
+    """The 3^D neighborhood tap indices (0, 1, 2 per axis; cell = base + tap - 1),
     mirroring the reference's nested gx/gy/gz loops (p2g_1.glsl:56-93)."""
     return tuple(itertools.product((0, 1, 2), repeat=dim))
 
 
-def tap_weight(w: jax.Array, tap: tuple[int, ...]) -> jax.Array:
-    """Separable product weight for one tap. w: [..., 3, D] -> [...]."""
-    out = w[..., tap[0], 0]
+def axis_weight(tap_a: int, d_a: jax.Array) -> jax.Array:
+    """Weight of tap index tap_a in {0,1,2} on one axis. d_a: [...]."""
+    if tap_a == 0:
+        return 0.5 * (0.5 - d_a) ** 2
+    if tap_a == 1:
+        return 0.75 - d_a * d_a
+    return 0.5 * (0.5 + d_a) ** 2
+
+
+def tap_weight(d: jax.Array, tap: tuple[int, ...]) -> jax.Array:
+    """Separable product weight for one tap. d: [D, N] -> [N]."""
+    w = axis_weight(tap[0], d[0])
     for a in range(1, len(tap)):
-        out = out * w[..., tap[a], a]
-    return out
+        w = w * axis_weight(tap[a], d[a])
+    return w
+
+
+def tap_dist(d: jax.Array, tap: tuple[int, ...]) -> jax.Array:
+    """Cell-center minus particle position for one tap: (tap - 1) - d.
+
+    Derivation: cell = base + tap - 1; dist = cell - pos + 0.5
+    = (tap - 1) - (pos - base - 0.5) = (tap - 1) - d — exactly the
+    reference's `cell_dist = (cell_x - p.pos) + 0.5` (p2g_1.glsl:70)."""
+    off = jnp.asarray([t - 1 for t in tap], d.dtype).reshape(-1, *([1] * (d.ndim - 1)))
+    return off - d

@@ -1,8 +1,10 @@
 """Grid momentum -> velocity update with gravity and boundary conditions.
 
 Reference: update_grid.glsl:36-74 / MLSMPM2DFluid.cs:309-332. Pure dense
-elementwise ops over the grid — XLA fuses the whole pass into the surrounding
-kernels; nothing to hand-schedule (SURVEY.md §2.4).
+elementwise ops over the flat grid — XLA fuses the whole pass; nothing to
+hand-schedule (SURVEY.md §2.4). Axis indices are derived from the flat cell
+id exactly like the reference kernel (`x = i / gs / gs; y = i / gs % gs;
+z = i % gs`, update_grid.glsl:61-63).
 """
 
 from __future__ import annotations
@@ -15,31 +17,33 @@ from ..core.state import Grid
 from . import fixed_point
 
 
-def _boundary_masks(config: SimConfig, dtype) -> jax.Array:
-    """Per-axis boundary band indicator, broadcastable to the grid.
+def axis_indices(config: SimConfig) -> list[jax.Array]:
+    """Per-axis cell index arrays, each [num_cells], from the flat id."""
+    i = jnp.arange(config.num_cells, dtype=jnp.int32)
+    out = []
+    stride = config.num_cells
+    for a in range(config.dim):
+        stride //= config.grid_res[a]
+        out.append((i // stride) % config.grid_res[a])
+    return out
 
-    Returns `band` of shape [*res, D] where band[..., a] == 1 inside the
-    boundary band of axis a: index < bc_band_lo or index > res - 1 - bc_band_hi
-    (reference `x < 2 || x > grid_size - 3`, update_grid.glsl:63-65).
-    """
-    res = config.grid_res
-    dim = config.dim
-    bands = []
-    for a in range(dim):
-        idx = jnp.arange(res[a])
-        in_band = (idx < config.bc_band_lo) | (idx > res[a] - 1 - config.bc_band_hi)
-        shape = [1] * dim
-        shape[a] = res[a]
-        bands.append(in_band.reshape(shape).astype(dtype) * jnp.ones(res, dtype))
-    return jnp.stack(bands, axis=-1)
+
+def boundary_bands(config: SimConfig) -> list[jax.Array]:
+    """Per-axis boolean boundary-band masks, each [num_cells]: index <
+    bc_band_lo or index > res - 1 - bc_band_hi (reference
+    `x < 2 || x > grid_size - 3`, update_grid.glsl:63-65)."""
+    idxs = axis_indices(config)
+    return [
+        (idxs[a] < config.bc_band_lo)
+        | (idxs[a] > config.grid_res[a] - 1 - config.bc_band_hi)
+        for a in range(config.dim)
+    ]
 
 
 def update_grid(grid: Grid, config: SimConfig, fp: FluidParams) -> Grid:
-    """momentum -> velocity, gravity, boundary conditions.
-
-    After this pass `grid.mom` holds grid *velocities* (the reference reuses
-    the same buffer, update_grid.glsl:44-56).
-    """
+    """momentum -> velocity, gravity, boundary conditions. After this pass
+    `grid.mom` holds grid *velocities* (the reference reuses the same buffer,
+    update_grid.glsl:44-56)."""
     if config.fixed_point:
         mass = fixed_point.decode(grid.mass, config.fixed_point_mult, config.dtype)
         mom = fixed_point.decode(grid.mom, config.fixed_point_mult, config.dtype)
@@ -48,34 +52,36 @@ def update_grid(grid: Grid, config: SimConfig, fp: FluidParams) -> Grid:
 
     has_mass = mass > 0
     safe_mass = jnp.where(has_mass, mass, 1.0)
-    vel = mom / safe_mass[..., None] + fp.dt * fp.gravity
+    vel = mom / safe_mass + fp.dt * fp.gravity[:, None]  # [D, num_cells]
 
-    band = _boundary_masks(config, vel.dtype)  # [*res, D]
+    bands = boundary_bands(config)
     if config.bc == BC_SLIP:
         # zero the normal component inside its axis band
-        vel = vel * (1.0 - band)
+        vel = jnp.stack(
+            [jnp.where(bands[a], 0.0, vel[a]) for a in range(config.dim)]
+        )
     elif config.bc == BC_STICK:
-        any_band = jnp.max(band, axis=-1, keepdims=True)
-        vel = vel * (1.0 - any_band)
+        any_band = bands[0]
+        for a in range(1, config.dim):
+            any_band = any_band | bands[a]
+        vel = jnp.where(any_band, 0.0, vel)
     elif config.bc == BC_FRICTION:
         # Reference slip+friction (MLSMPM2DFluidMultithread.cs:364-368):
         # inside axis-a band, the normal component is zeroed and the
         # tangential components are scaled by `friction`. Bands on multiple
-        # axes compose multiplicatively (the reference applies them
-        # sequentially per axis).
+        # axes compose multiplicatively (applied sequentially per axis).
         for a in range(config.dim):
-            b = band[..., a : a + 1]  # [*res, 1]
-            normal = jnp.zeros((config.dim,), vel.dtype).at[a].set(1.0)
-            scale = jnp.where(
-                b > 0,
-                (1.0 - normal) * config.friction + normal * 0.0,
-                jnp.ones((config.dim,), vel.dtype),
-            )
-            vel = vel * scale
+            scale = jnp.where(bands[a], config.friction, 1.0)
+            rows = []
+            for i in range(config.dim):
+                rows.append(
+                    jnp.where(bands[a], 0.0, vel[i]) if i == a else vel[i] * scale
+                )
+            vel = jnp.stack(rows)
     else:
         raise ValueError(f"unknown bc flavor: {config.bc}")
 
-    vel = jnp.where(has_mass[..., None], vel, 0.0)
+    vel = jnp.where(has_mass, vel, 0.0)
 
     if config.fixed_point:
         vel = fixed_point.encode(vel, config.fixed_point_mult)

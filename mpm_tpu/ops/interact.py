@@ -71,20 +71,19 @@ class Interaction:
 def apply_interactions(
     pos: jax.Array, vel: jax.Array, interactions: Sequence[Interaction]
 ) -> jax.Array:
-    """Add interaction impulses to `vel`. Shapes: pos/vel [N, D] (or any
-    leading batch dims)."""
+    """Add interaction impulses to `vel`. Shapes: pos/vel [D, N] lane-major."""
     for it in interactions:
-        d = pos - it.center
-        r2 = jnp.sum(d * d, axis=-1)
+        d = pos - it.center[:, None]  # [D, N]
+        r2 = jnp.sum(d * d, axis=0)
         inside = (r2 < it.radius * it.radius) & (it.active > 0)
         norm = jnp.sqrt(r2)
         safe_norm = jnp.where(norm > 0, norm, 1.0)
-        dirn = d / safe_norm[..., None]
+        dirn = d / safe_norm
         # falloff: lerp between constant push and radius/|d| scaling
         falloff = 1.0 + it.inv_falloff * (it.radius / safe_norm - 1.0)
-        force = dirn * (it.strength * falloff)[..., None]
+        force = dirn * (it.strength * falloff)
         # NaN guard as in the reference (MLSMPM2DFluid.cs:394): a particle
         # exactly at the center gets no force.
-        ok = inside & (norm > 0) & jnp.all(jnp.isfinite(force), axis=-1)
-        vel = vel + jnp.where(ok[..., None], force, 0.0)
+        ok = inside & (norm > 0) & jnp.all(jnp.isfinite(force), axis=0)
+        vel = vel + jnp.where(ok, force, 0.0)
     return vel

@@ -7,9 +7,10 @@ a direct, D-generic statement of the per-substep sequence
 
 (MLSMPM2DFluid.cs:166-182, MLSMPM3DFluidMultithreadGPU.cs:505-544) using
 `.at[].add` scatters for P2G and per-particle gathers for G2P. It is simple,
-obviously correct, and serves as the correctness oracle for the binned fast
+obviously correct, and serves as the correctness oracle for the sorted fast
 path and the Pallas kernels (the reference's own S1->S5 progression used the
-same oracle pattern, SURVEY.md §4).
+same oracle pattern, SURVEY.md §4). Scatters are slow on TPU — run the oracle
+on CPU; the fast path is ops/binned.py.
 """
 
 from __future__ import annotations
@@ -21,23 +22,9 @@ import jax.numpy as jnp
 
 from ..core.params import FluidParams, SimConfig
 from ..core.state import Grid, SimState, zero_grid
-from . import fixed_point, stress
-from . import transfer as transfer_contribs
+from . import bspline, fixed_point, stress, transfer
 from .grid import update_grid
 from .interact import Interaction, apply_interactions
-from .transfer import TapGeometry, tap_geometry
-
-
-def _scatter_add(target: jax.Array, flat: jax.Array, contrib: jax.Array) -> jax.Array:
-    """Scatter-add [N, T(, D)] contributions into the flattened grid."""
-    n, t = flat.shape
-    if contrib.ndim == 3:
-        return target.reshape(-1, contrib.shape[-1]).at[flat.reshape(-1)].add(
-            contrib.reshape(n * t, -1)
-        ).reshape(target.shape)
-    return (
-        target.reshape(-1).at[flat.reshape(-1)].add(contrib.reshape(-1)).reshape(target.shape)
-    )
 
 
 def _encode_maybe(x, config: SimConfig):
@@ -48,29 +35,42 @@ def _encode_maybe(x, config: SimConfig):
     return x
 
 
-def p2g_1(state: SimState, grid: Grid, geom: TapGeometry, config: SimConfig) -> Grid:
-    """Mass + APIC momentum scatter: m*w and m*w*(v + C d) per tap
-    (p2g_1.glsl:56-93, MPM-course eq. 172)."""
-    mass_c, mom_c = transfer_contribs.p2g1_contribs(state, geom)
-    return Grid(
-        mom=_scatter_add(grid.mom, geom.flat, _encode_maybe(mom_c, config)),
-        mass=_scatter_add(grid.mass, geom.flat, _encode_maybe(mass_c, config)),
-    )
-
-
-def gather_density(state: SimState, grid: Grid, geom: TapGeometry, config: SimConfig):
-    """Density estimate: sum of w * cell mass over the neighborhood
-    (p2g_2.glsl:66-90)."""
-    gmass = grid.mass.reshape(-1)[geom.flat]  # [N, T]
+def _decode_maybe(x, config: SimConfig):
     if config.fixed_point:
-        gmass = fixed_point.decode(gmass, config.fixed_point_mult, config.dtype)
-    return jnp.sum(gmass * geom.wt, axis=-1)
+        return fixed_point.decode(x, config.fixed_point_mult, config.dtype)
+    return x
+
+
+def p2g_1(
+    state: SimState, grid: Grid, geom: transfer.TransferGeometry, config: SimConfig
+) -> Grid:
+    """Mass + APIC momentum scatter per tap (p2g_1.glsl:56-93)."""
+    gmass, gmom = grid.mass, grid.mom
+    for tap, off in zip(bspline.taps(config.dim), transfer.flat_tap_offsets(config)):
+        mass_c, mom_c = transfer.p2g1_tap_contribs(state, geom.d, tap)
+        idx = geom.flat_base + off
+        gmass = gmass.at[idx].add(_encode_maybe(mass_c, config))
+        gmom = gmom.at[:, idx].add(_encode_maybe(mom_c, config))
+    return Grid(mom=gmom, mass=gmass)
+
+
+def gather_density(
+    state: SimState, grid: Grid, geom: transfer.TransferGeometry, config: SimConfig
+) -> jax.Array:
+    """Density estimate: sum of w * cell mass over the neighborhood
+    (p2g_2.glsl:66-90). Returns [N]."""
+    density = jnp.zeros_like(state.mass)
+    for tap, off in zip(bspline.taps(config.dim), transfer.flat_tap_offsets(config)):
+        w = bspline.tap_weight(geom.d, tap)
+        gm = _decode_maybe(grid.mass[geom.flat_base + off], config)
+        density = density + gm * w
+    return density
 
 
 def p2g_2(
     state: SimState,
     grid: Grid,
-    geom: TapGeometry,
+    geom: transfer.TransferGeometry,
     config: SimConfig,
     fp: FluidParams,
 ) -> Grid:
@@ -78,36 +78,46 @@ def p2g_2(
     density = gather_density(state, grid, geom, config)
     eq16 = stress.fused_force_term(
         density, state.mass, state.C, fp, config.legacy_strain
-    )  # [N, D, D]
-    mom_c = transfer_contribs.p2g2_contribs(eq16, geom)
-    return Grid(
-        mom=_scatter_add(grid.mom, geom.flat, _encode_maybe(mom_c, config)),
-        mass=grid.mass,
-    )
+    )  # [D, D, N]
+    gmom = grid.mom
+    for tap, off in zip(bspline.taps(config.dim), transfer.flat_tap_offsets(config)):
+        mom_c = transfer.p2g2_tap_contribs(eq16, geom.d, tap)
+        gmom = gmom.at[:, geom.flat_base + off].add(_encode_maybe(mom_c, config))
+    return Grid(mom=gmom, mass=grid.mass)
 
 
-def g2p(
+def g2p_gather(
+    grid: Grid, geom: transfer.TransferGeometry, config: SimConfig
+):
+    """Velocity gather + APIC B matrix (g2p.glsl:73-108). Returns
+    (vel [D, N], C [D, D, N])."""
+    dim = config.dim
+    n = geom.d.shape[-1]
+    vel = jnp.zeros((dim, n), geom.d.dtype)
+    B = jnp.zeros((dim, dim, n), geom.d.dtype)
+    for tap, off in zip(bspline.taps(dim), transfer.flat_tap_offsets(config)):
+        w = bspline.tap_weight(geom.d, tap)
+        dist = bspline.tap_dist(geom.d, tap)
+        gv = _decode_maybe(grid.mom[:, geom.flat_base + off], config)
+        wv = w * gv  # [D, N]
+        vel = vel + wv
+        B = B + wv[:, None, :] * dist[None, :, :]
+    return vel, 4.0 * B  # C = 4B (APIC, g2p.glsl:108)
+
+
+def g2p_tail(
     state: SimState,
-    grid: Grid,
-    geom: TapGeometry,
+    vel: jax.Array,
+    C: jax.Array,
     config: SimConfig,
     fp: FluidParams,
     interactions: Sequence[Interaction] = (),
 ) -> SimState:
-    """Velocity gather, APIC C rebuild, advection, clamps, interaction forces,
-    predictive wall springs (g2p.glsl:52-152, MLSMPM2DFluid.cs:334-421)."""
-    gvel = grid.mom.reshape(-1, config.dim)[geom.flat]  # [N, T, D]
-    if config.fixed_point:
-        gvel = fixed_point.decode(gvel, config.fixed_point_mult, config.dtype)
-
-    wv = geom.wt[..., None] * gvel  # [N, T, D]
-    vel = jnp.sum(wv, axis=1)
-    # B = sum_t wv outer dist; C = 4 B (APIC, g2p.glsl:95-108)
-    C = 4.0 * jnp.einsum("nti,ntj->nij", wv, geom.dist)
-
+    """Advection, clamps, interaction forces, predictive wall springs
+    (g2p.glsl:110-147, MLSMPM2DFluid.cs:375-416)."""
     pos = state.pos + vel * fp.dt
 
-    res = jnp.asarray(config.grid_res, pos.dtype)
+    res = jnp.asarray(config.grid_res, pos.dtype).reshape(-1, 1)
     pos = jnp.clip(pos, config.clamp_lo, res - config.clamp_hi_offset)
 
     vel = apply_interactions(pos, vel, interactions)
@@ -123,6 +133,18 @@ def g2p(
     return SimState(pos=pos, vel=vel, C=C, mass=state.mass, ids=state.ids)
 
 
+def g2p(
+    state: SimState,
+    grid: Grid,
+    geom: transfer.TransferGeometry,
+    config: SimConfig,
+    fp: FluidParams,
+    interactions: Sequence[Interaction] = (),
+) -> SimState:
+    vel, C = g2p_gather(grid, geom, config)
+    return g2p_tail(state, vel, C, config, fp, interactions)
+
+
 def substep(
     state: SimState,
     config: SimConfig,
@@ -130,7 +152,7 @@ def substep(
     interactions: Sequence[Interaction] = (),
 ) -> SimState:
     """One full substep of the normative algorithm."""
-    geom = tap_geometry(state.pos, config)
+    geom = transfer.geometry(state.pos, config)
     grid = zero_grid(config)
     grid = p2g_1(state, grid, geom, config)
     grid = p2g_2(state, grid, geom, config, fp)

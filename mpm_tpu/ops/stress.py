@@ -26,19 +26,19 @@ def eos_pressure(density: jax.Array, fp: FluidParams) -> jax.Array:
 
 
 def viscous_strain(C: jax.Array, legacy: bool = False) -> jax.Array:
-    """Strain-rate proxy from the APIC affine matrix.
+    """Strain-rate proxy from the APIC affine matrix. C: [D, D, N] lane-major.
 
     3D kernels use the full symmetrization C + C^T (p2g_2.glsl:103-105).
     The 2D serial variant keeps the diagonal unscaled and only symmetrizes the
     off-diagonals (MLSMPM2DFluid.cs:276-281); `legacy=True` reproduces that
     for bit-parity trajectory replay of the 2D scene.
     """
-    Ct = jnp.swapaxes(C, -1, -2)
+    Ct = jnp.swapaxes(C, 0, 1)
     full = C + Ct
     if not legacy:
         return full
-    d = C.shape[-1]
-    eye = jnp.eye(d, dtype=C.dtype)
+    d = C.shape[0]
+    eye = jnp.eye(d, dtype=C.dtype)[:, :, None]
     # off-diagonals = C_ij + C_ji, diagonal = C_ii
     return full - eye * Ct
 
@@ -46,7 +46,7 @@ def viscous_strain(C: jax.Array, legacy: bool = False) -> jax.Array:
 def fused_force_term(
     density: jax.Array,  # [N]
     mass: jax.Array,  # [N]
-    C: jax.Array,  # [N, D, D]
+    C: jax.Array,  # [D, D, N] lane-major
     fp: FluidParams,
     legacy_strain: bool = False,
 ) -> jax.Array:
@@ -54,15 +54,12 @@ def fused_force_term(
 
     Guards density == 0 (a particle whose whole 3^D neighborhood has zero mass
     cannot happen after P2G pass 1 deposited its own mass, but the guard keeps
-    the masked/padded lanes of the binned fast path finite).
-    """
-    d = C.shape[-1]
+    masked/padded lanes finite)."""
+    d = C.shape[0]
     safe_density = jnp.where(density > 0, density, 1.0)
-    volume = mass / safe_density
-    pressure = eos_pressure(safe_density, fp)
-    eye = jnp.eye(d, dtype=C.dtype)
-    stress = -pressure[..., None, None] * eye + fp.dynamic_viscosity * viscous_strain(
-        C, legacy_strain
-    )
-    eq16 = (-4.0 * fp.dt) * volume[..., None, None] * stress
-    return jnp.where((density > 0)[..., None, None], eq16, 0.0)
+    volume = mass / safe_density  # [N]
+    pressure = eos_pressure(safe_density, fp)  # [N]
+    eye = jnp.eye(d, dtype=C.dtype)[:, :, None]
+    stress = -pressure * eye + fp.dynamic_viscosity * viscous_strain(C, legacy_strain)
+    eq16 = (-4.0 * fp.dt) * volume * stress
+    return jnp.where(density > 0, eq16, 0.0)

@@ -1,11 +1,13 @@
-"""Shared particle<->grid transfer geometry.
+"""Shared particle<->grid transfer geometry and per-tap contributions.
 
 Every pass in every reference variant starts from the same quantities per
 particle: the base cell, the 3 quadratic B-spline weights per axis, and for
 each of the 3^D taps the product weight, the tap's cell index and the
-cell-center distance (p2g_1.glsl:44-70, MLSMPM2DFluid.cs:203-219). This module
-computes them once, vectorized over particles.
-"""
+cell-center distance (p2g_1.glsl:44-70, MLSMPM2DFluid.cs:203-219).
+
+Layout: lane-major [D, N]; per-tap quantities are computed on the fly inside
+the tap loop (materializing [N, 27, D] intermediates is what OOM'd the first
+design — TPU pads small minor dims to 128 lanes)."""
 
 from __future__ import annotations
 
@@ -18,53 +20,51 @@ from ..core.params import SimConfig
 from . import bspline
 
 
-class TapGeometry(NamedTuple):
-    base: jax.Array  # [N, D] int32 base cell (floor(pos))
-    wt: jax.Array  # [N, T] product weight per tap, T = 3^D
-    cells: jax.Array  # [N, T, D] int32 tap cell indices (clipped to grid)
-    flat: jax.Array  # [N, T] int32 flattened tap cell indices
-    dist: jax.Array  # [N, T, D] cell-center minus particle position
+class TransferGeometry(NamedTuple):
+    base: jax.Array  # [D, N] int32 base cell (floor(pos), clipped to grid)
+    d: jax.Array  # [D, N] fractional offset frac(pos) - 0.5
+    flat_base: jax.Array  # [N] int32 flattened base cell id
 
 
-def p2g1_contribs(state, geom: "TapGeometry"):
-    """Per-tap mass and APIC momentum contributions m*w, m*w*(v + C d)
-    (p2g_1.glsl:56-93, MPM-course eq. 172). Returns ([N,T], [N,T,D])."""
-    mass_c = geom.wt * state.mass[:, None]
-    Cd = jnp.einsum("nij,ntj->nti", state.C, geom.dist)
-    mom_c = mass_c[..., None] * (state.vel[:, None, :] + Cd)
+def geometry(pos: jax.Array, config: SimConfig) -> TransferGeometry:
+    base = bspline.base_cell(pos)
+    res = jnp.asarray(config.grid_res, jnp.int32).reshape(-1, 1)
+    # The reference never range-checks the scatter (SURVEY.md §2.1 quirks);
+    # its safety is the position clamps. We clip defensively — with the
+    # reference clamp bounds the clip is a no-op.
+    base = jnp.clip(base, 1, res - 2)
+    d = pos - base.astype(pos.dtype) - 0.5
+    flat = base[0]
+    for a in range(1, config.dim):
+        flat = flat * config.grid_res[a] + base[a]
+    return TransferGeometry(base=base, d=d, flat_base=flat)
+
+
+def flat_tap_offsets(config: SimConfig) -> list[int]:
+    """Constant flat-index offset of each tap on the row-major grid."""
+    strides = [1] * config.dim
+    for a in range(config.dim - 2, -1, -1):
+        strides[a] = strides[a + 1] * config.grid_res[a + 1]
+    return [
+        sum((t[a] - 1) * strides[a] for a in range(config.dim))
+        for t in bspline.taps(config.dim)
+    ]
+
+
+def p2g1_tap_contribs(state, d: jax.Array, tap: tuple[int, ...]):
+    """Per-tap mass and APIC momentum contributions m*w, m*w*(v + C dist)
+    (p2g_1.glsl:56-93, MPM-course eq. 172). Returns ([N], [D, N])."""
+    w = bspline.tap_weight(d, tap)
+    dist = bspline.tap_dist(d, tap)  # [D, N]
+    mass_c = w * state.mass
+    Cd = jnp.einsum("ijn,jn->in", state.C, dist)
+    mom_c = mass_c * (state.vel + Cd)
     return mass_c, mom_c
 
 
-def p2g2_contribs(eq16: jax.Array, geom: "TapGeometry"):
+def p2g2_tap_contribs(eq16: jax.Array, d: jax.Array, tap: tuple[int, ...]):
     """Per-tap fused force momentum contribution w * (eq16 @ dist)
-    (p2g_2.glsl:111-153). eq16: [N,D,D] -> [N,T,D]."""
-    return geom.wt[..., None] * jnp.einsum("nij,ntj->nti", eq16, geom.dist)
-
-
-def tap_geometry(pos: jax.Array, config: SimConfig) -> TapGeometry:
-    dim = config.dim
-    base = bspline.base_cell(pos)
-    w = bspline.weights_1d(bspline.cell_diff(pos))  # [N, 3, D]
-    tap_arr = jnp.asarray(bspline.taps(dim), jnp.int32)  # [T, D]
-
-    cells = base[:, None, :] + (tap_arr[None] - 1)  # [N, T, D]
-    # The reference never range-checks the scatter (SURVEY.md §2.1 quirks);
-    # its safety is the position clamps. We clip defensively — with the
-    # reference clamp bounds (>= 1) the clip is a no-op.
-    res = jnp.asarray(config.grid_res, jnp.int32)
-    cells = jnp.clip(cells, 0, res - 1)
-    dist = cells.astype(pos.dtype) - pos[:, None, :] + 0.5
-
-    wt = w[:, tap_arr[:, 0], 0]
-    for a in range(1, dim):
-        wt = wt * w[:, tap_arr[:, a], a]
-
-    strides = []
-    s = 1
-    for r in reversed(config.grid_res):
-        strides.append(s)
-        s *= r
-    strides = jnp.asarray(list(reversed(strides)), jnp.int32)
-    flat = jnp.sum(cells * strides, axis=-1)
-
-    return TapGeometry(base=base, wt=wt, cells=cells, flat=flat, dist=dist)
+    (p2g_2.glsl:111-153). eq16: [D, D, N] -> [D, N]."""
+    w = bspline.tap_weight(d, tap)
+    dist = bspline.tap_dist(d, tap)
+    return w * jnp.einsum("ijn,jn->in", eq16, dist)

@@ -1,0 +1,30 @@
+from .camera import Camera, look_at
+from .pipeline import (
+    RenderConfig,
+    RENDER_DEFAULT,
+    RENDER_DEPTH_DEBUG,
+    RENDER_NONE,
+    RENDER_VELOCITY_SPHERES,
+    default_view,
+    make_renderer,
+    render_frame,
+)
+from .ssfr import SSFRParams
+from .background import BackgroundScene
+from .image import write_png
+
+__all__ = [
+    "Camera",
+    "RenderConfig",
+    "SSFRParams",
+    "BackgroundScene",
+    "look_at",
+    "default_view",
+    "make_renderer",
+    "render_frame",
+    "write_png",
+    "RENDER_DEFAULT",
+    "RENDER_VELOCITY_SPHERES",
+    "RENDER_DEPTH_DEBUG",
+    "RENDER_NONE",
+]

@@ -1,0 +1,107 @@
+"""Render pipeline orchestrator — the headless analogue of the reference's
+CompositorEffect chain (SURVEY.md §3.3):
+
+    fluid depth camera (splat)      -> SplatBuffers
+    FluidTexturePass (RID publish)  -> plain function returns
+    ScreenSpaceFluidRendering       -> render_frame(...)
+
+Render modes mirror screen_space_fluid_rendering.gd:5-7: DEFAULT (full SSFR),
+VELOCITY_SPHERES (depth-tested velocity-colored spheres), plus the
+debug_draw_depth toggle and a NONE mode (main_ui visualisation selector,
+SURVEY.md §2.3 A4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .background import BackgroundScene, make_cubemap_sampler, render_background
+from .camera import Camera, look_at
+from .splat import splat_particles
+from .ssfr import (
+    SSFRParams,
+    blur_depth,
+    depth_debug_image,
+    shade,
+    composite_threshold,
+    velocity_spheres_composite,
+)
+
+RENDER_DEFAULT = "default"
+RENDER_VELOCITY_SPHERES = "velocity_spheres"
+RENDER_DEPTH_DEBUG = "depth_debug"
+RENDER_NONE = "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render configuration (hashable, jit-static)."""
+
+    camera: Camera = Camera()
+    ssfr: SSFRParams = SSFRParams()
+    mode: str = RENDER_DEFAULT
+    max_radius_px: int = 6
+    sphere_render_ratio: float = 1.0
+    background: BackgroundScene = BackgroundScene()
+
+
+def render_frame(
+    pos: jax.Array,  # [N, 3]
+    vel_mag: jax.Array,  # [N]
+    view: jax.Array,  # [4, 4] world->view
+    rc: RenderConfig,
+    cubemap_faces: jax.Array | None = None,
+) -> jax.Array:
+    """Particles -> final [H, W, 3] frame, entirely on device."""
+    cam = rc.camera
+    bg_color, bg_depth = render_background(cam, view, rc.background)
+    if rc.mode == RENDER_NONE:
+        return bg_color
+
+    bufs = splat_particles(
+        pos,
+        vel_mag,
+        view,
+        cam,
+        sphere_radius=rc.ssfr.particle_sphere_radius,
+        max_radius_px=rc.max_radius_px,
+        sphere_render_ratio=rc.sphere_render_ratio,
+    )
+
+    if rc.mode == RENDER_VELOCITY_SPHERES:
+        # velocity as red channel like the depth-map shader's albedo
+        # (depth_map.gdshader:87: ALBEDO = vec3(velocity / 10, 0, 0))
+        fluid_color = jnp.stack(
+            [bufs.velocity / 10.0, jnp.zeros_like(bufs.velocity), jnp.zeros_like(bufs.velocity)],
+            axis=-1,
+        )
+        return velocity_spheres_composite(bg_color, bg_depth, bufs.depth, fluid_color)
+
+    depth = blur_depth(bufs.depth, rc.ssfr, cam)
+
+    if rc.mode == RENDER_DEPTH_DEBUG or rc.ssfr.debug_draw_depth:
+        return depth_debug_image(depth, rc.ssfr)
+
+    sampler = make_cubemap_sampler(cubemap_faces)
+    color, _live = shade(
+        depth, bg_color, bg_depth, sampler, view[:3, :3], rc.ssfr, cam
+    )
+    return color
+
+
+def make_renderer(rc: RenderConfig) -> Callable:
+    """Jitted renderer: (pos, vel_mag, view) -> frame."""
+    return jax.jit(partial(render_frame, rc=rc))
+
+
+def default_view(config_grid_res=(64, 64, 64)) -> jax.Array:
+    """A pleasant default camera: looking at the domain center from an
+    elevated diagonal, like the reference's main camera start pose."""
+    c = [r / 2.0 for r in config_grid_res]
+    eye = (c[0] + 55.0, c[1] + 28.0, c[2] + 55.0)
+    return jnp.asarray(look_at(eye, (c[0], c[1] - 8.0, c[2])))

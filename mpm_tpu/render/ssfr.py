@@ -1,0 +1,237 @@
+"""Screen-Space Fluid Rendering passes (van der Laan et al., GDC 2010).
+
+Headless JAX reimplementation of the reference's compute chain
+(rendering/compositor_effects/screen_space_fluid_rendering.gd:302-539):
+
+    linearize depth -> bilateral blur X -> bilateral blur Y
+    -> shade (normals from depth, Blinn specular, Schlick Fresnel,
+       cubemap reflection, refraction offset, Beer's-law transmittance)
+    -> composite over the background render
+
+Our splat buffers are already linear view depth, so the linearize pass is an
+identity here (the NDC<->linear utilities live in camera.py for parity).
+All passes are dense image ops — XLA fuses them; the data-dependent blur
+radius becomes a fixed max-radius loop with per-pixel weight masking
+(SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .camera import Camera, screen_to_view_dir, view_pos_from_depth
+from .splat import BG_DEPTH
+
+FAR_GUARD = 3990.0  # reference far-plane guard (bilateral_blur_directional.glsl:43)
+IOR = 1.333
+ETA = 1.0 / IOR
+F0 = 0.02  # Fresnel at 0 degrees (fluid_render_fixed_depth.glsl:14)
+
+
+@dataclasses.dataclass(frozen=True)
+class SSFRParams:
+    """Exported tunables of the SSFR effect
+    (screen_space_fluid_rendering.gd:5-30), reference defaults."""
+
+    particle_sphere_radius: float = 1.0
+    depth_blur_enabled: bool = True
+    blur_depth_scale: float = 10.0
+    max_filter_size: int = 100
+    blur_filter_size: float = 7.0
+    diffuse_color: tuple[float, float, float] = (0.085, 0.6375, 0.765)
+    thickness: float = 1.0  # "minimum_thickness"; constant — the reference
+    # never rendered a thickness pass ("didn't have time for that",
+    # screen_space_fluid_rendering.gd:429)
+    optical_density: float = 2.0
+    refraction_strength: float = 0.1
+    specular_power: float = 250.0
+    fresnel_clamp: float = 1.0
+    light_dir: tuple[float, float, float] = (0.0, -1.0, 0.0)  # world, toward scene
+    # debug render (screen_space_fluid_rendering.gd:27-29)
+    debug_draw_depth: bool = False
+    depth_divisor: float = 100.0
+    # practical cap for the masked blur loop (the reference's default
+    # max_filter_size=100 is a worst-case clamp; actual radii are
+    # projected_particle_constant / depth)
+    blur_tap_radius: int = 12
+
+
+def bilateral_blur_1d(
+    depth: jax.Array,  # [H, W] linear depth
+    axis: int,  # 0 = y pass, 1 = x pass
+    params: SSFRParams,
+    cam: Camera,
+) -> jax.Array:
+    """Depth-adaptive separable bilateral blur
+    (bilateral_blur_directional.glsl:50-77). Filter size shrinks with depth:
+    min(max_filter, ceil(projected_particle_constant / depth)); Gaussian
+    space weights (sigma = size/3) x Gaussian range weights
+    (sigma = depth_threshold)."""
+    # host-side constants (screen_space_fluid_rendering.gd:373-376)
+    r = params.particle_sphere_radius
+    depth_threshold = r * params.blur_depth_scale
+    proj_const = (params.blur_filter_size * r * 0.1 * (cam.height / 2.0)) / jnp.tan(
+        jnp.deg2rad(cam.fov_y_deg) / 2.0
+    )
+
+    live = (depth > 0.0) & (depth <= FAR_GUARD)
+    fsize = jnp.minimum(
+        float(params.max_filter_size), jnp.ceil(proj_const / jnp.maximum(depth, 1e-3))
+    )
+    fsize = jnp.minimum(fsize, params.blur_tap_radius)
+    sigma_space = jnp.maximum(fsize / 3.0, 1e-3)
+    two_ss2 = 2.0 * sigma_space * sigma_space
+    two_sr2 = 2.0 * depth_threshold * depth_threshold
+
+    pad_width = [(0, 0), (0, 0)]
+    pad_width[axis] = (params.blur_tap_radius, params.blur_tap_radius)
+    dpad = jnp.pad(depth, pad_width, constant_values=BG_DEPTH)
+
+    h, w = depth.shape
+    num = jnp.zeros_like(depth)
+    den = jnp.zeros_like(depth)
+    for x in range(-params.blur_tap_radius, params.blur_tap_radius + 1):
+        start = [0, 0]
+        start[axis] = params.blur_tap_radius + x
+        sample = jax.lax.dynamic_slice(dpad, start, (h, w))
+        in_range = jnp.abs(x) <= fsize
+        ws = jnp.exp(-(x * x) / two_ss2)
+        rd = sample - depth
+        wd = jnp.exp(-(rd * rd) / two_sr2)
+        wgt = jnp.where(in_range, ws * wd, 0.0)
+        num = num + sample * wgt
+        den = den + wgt
+    blurred = num / jnp.maximum(den, 1e-9)
+    return jnp.where(live, blurred, depth)
+
+
+def blur_depth(depth: jax.Array, params: SSFRParams, cam: Camera) -> jax.Array:
+    if not params.depth_blur_enabled:
+        return depth
+    d = bilateral_blur_1d(depth, 1, params, cam)  # X pass
+    return bilateral_blur_1d(d, 0, params, cam)  # Y pass
+
+
+def reconstruct_normals(depth: jax.Array, cam: Camera) -> jax.Array:
+    """View-space normals from min-magnitude depth differences
+    (fluid_render_fixed_depth.glsl:103-119)."""
+    vpos = view_pos_from_depth(cam, depth)  # [H, W, 3]
+
+    def diff(arr, axis, sign):
+        shifted = jnp.roll(arr, -sign, axis=axis)
+        d = (shifted - arr) * sign
+        return d
+
+    ddx1 = diff(vpos, 1, 1)
+    ddx2 = diff(vpos, 1, -1)
+    ddx = jnp.where(
+        (jnp.abs(ddx1[..., 2]) > jnp.abs(ddx2[..., 2]))[..., None], ddx2, ddx1
+    )
+    ddy1 = diff(vpos, 0, 1)
+    ddy2 = diff(vpos, 0, -1)
+    ddy = jnp.where(
+        (jnp.abs(ddy1[..., 2]) > jnp.abs(ddy2[..., 2]))[..., None], ddy2, ddy1
+    )
+    # screen y is stored top-down, so the "up" image axis is -y in view space;
+    # cross(ddy, ddx) with this storage yields the camera-facing normal as in
+    # the reference (which samples uv with the same orientation)
+    n = jnp.cross(ddy, ddx)
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-9)
+
+
+def shade(
+    fluid_depth: jax.Array,  # [H, W] blurred linear depth
+    bg_color: jax.Array,  # [H, W, 3]
+    bg_depth: jax.Array,  # [H, W] linear depth of background scene
+    cubemap_sample,  # callable dirs [..,3](view) -> [..,3] rgb
+    view_rot: jax.Array,  # [3,3] world->view rotation (to rotate dirs back)
+    params: SSFRParams,
+    cam: Camera,
+):
+    """The fluid_render_fixed_depth pass (fluid_render_fixed_depth.glsl:52-153).
+    Returns (color [H,W,3], mask [H,W])."""
+    live = (fluid_depth <= FAR_GUARD) & (bg_depth >= fluid_depth)
+
+    normal = reconstruct_normals(fluid_depth, cam)
+    ray_dir = screen_to_view_dir(cam)  # [H, W, 3] unit, view space
+
+    # light dir into view space (main_camera.gd pulls the scene light into
+    # the effect, main_camera.gd:54-62); reference convention: light_dir
+    # points from surface toward light in the half-vector formula
+    light_v = view_rot @ jnp.asarray(params.light_dir, fluid_depth.dtype)
+    light_v = -light_v / jnp.maximum(jnp.linalg.norm(light_v), 1e-9)
+
+    hvec = light_v - ray_dir
+    hvec = hvec / jnp.maximum(jnp.linalg.norm(hvec, axis=-1, keepdims=True), 1e-9)
+    spec = jnp.maximum(0.0, jnp.sum(hvec * normal, axis=-1)) ** params.specular_power
+
+    cos_t = jnp.sum(normal * (-ray_dir), axis=-1)
+    fresnel = jnp.clip(
+        F0 + (1.0 - F0) * jnp.maximum(1.0 - cos_t, 0.0) ** 5.0, 0.0, params.fresnel_clamp
+    )
+
+    # cubemap reflection: reflect in view space, rotate to world for sampling
+    refl_v = ray_dir - 2.0 * cos_t[..., None] * (-normal)
+    refl_w = refl_v @ view_rot  # R^T @ v per pixel
+    refl_color = cubemap_sample(refl_w)
+
+    # refraction: offset background UV by refracted direction xy
+    # (fluid_render_fixed_depth.glsl:142-144)
+    cos_i = jnp.clip(jnp.sum(-ray_dir * normal, axis=-1), -1.0, 1.0)
+    k = 1.0 - ETA * ETA * (1.0 - cos_i * cos_i)
+    refr_dir = ETA * ray_dir + (ETA * cos_i - jnp.sqrt(jnp.maximum(k, 0.0)))[
+        ..., None
+    ] * normal
+    h, w = fluid_depth.shape
+    uv_off = refr_dir[..., :2] * (params.thickness * params.refraction_strength)
+    xs = jnp.arange(w, dtype=fluid_depth.dtype)
+    ys = jnp.arange(h, dtype=fluid_depth.dtype)
+    xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
+    # uv in [0,1] with y flipped like screen storage
+    sx = jnp.clip(xg + uv_off[..., 0] * w, 0, w - 1).astype(jnp.int32)
+    sy = jnp.clip(yg - uv_off[..., 1] * h, 0, h - 1).astype(jnp.int32)
+    transmitted = bg_color[sy, sx]
+
+    diffuse = jnp.asarray(params.diffuse_color, fluid_depth.dtype)
+    transmittance = jnp.exp(
+        -params.optical_density * (1.0 - diffuse) * params.thickness
+    )  # Beer's law
+    refr_color = transmitted * transmittance
+
+    color = (
+        refr_color * (1.0 - fresnel[..., None])
+        + refl_color * fresnel[..., None]
+        + spec[..., None]
+    )
+    return jnp.where(live[..., None], color, bg_color), live
+
+
+def depth_debug_image(fluid_depth: jax.Array, params: SSFRParams) -> jax.Array:
+    """Greyscale linear-depth visualiser (particle_depth_visualiser.glsl:58-63)."""
+    g = jnp.clip(fluid_depth / params.depth_divisor, 0.0, 1.0)
+    g = jnp.where(fluid_depth > FAR_GUARD, 1.0, g)
+    return jnp.stack([g, g, g], axis=-1)
+
+
+def composite_threshold(
+    dst: jax.Array, src: jax.Array, color_threshold: float = 0.01
+) -> jax.Array:
+    """The copy_texture pass: copy src where |rgb| >= threshold
+    (copy_texture.glsl:28-33)."""
+    mag = jnp.linalg.norm(src, axis=-1, keepdims=True)
+    return jnp.where(mag >= color_threshold, src, dst)
+
+
+def velocity_spheres_composite(
+    bg_color: jax.Array,
+    bg_depth: jax.Array,
+    fluid_depth: jax.Array,
+    fluid_color: jax.Array,
+) -> jax.Array:
+    """VELOCITY_SPHERES mode: depth-tested copy of the fluid-camera color
+    into the main color (fluid_render_velocity_spheres.glsl:50-67)."""
+    live = (fluid_depth <= FAR_GUARD) & (bg_depth >= fluid_depth)
+    return jnp.where(live[..., None], fluid_color, bg_color)

@@ -5,13 +5,13 @@ are redundant implementations cross-checked by eye (SURVEY.md §4); here the
 check is numerical and automated.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from mpm_tpu import get_scene, make_step
 from mpm_tpu.ops import binned
-from mpm_tpu.ops.binning import bin_particles
 
 
 @pytest.mark.parametrize("scene_name", ["dam_break_2d", "fluid_3d_fixed_point"])
@@ -60,48 +60,67 @@ def test_fixed_point_bit_determinism():
     out2 = step(sc.state, sc.fluid, ())
     np.testing.assert_array_equal(np.asarray(out1.pos), np.asarray(out2.pos))
 
-    # permute initial particle order; trajectories must match bit-for-bit
-    # after mapping back to emission order
     perm = np.random.RandomState(0).permutation(sc.state.num_particles)
-    import mpm_tpu
-
-    shuffled = mpm_tpu.SimState(
-        pos=sc.state.pos[perm],
-        vel=sc.state.vel[perm],
-        C=sc.state.C[perm],
-        mass=sc.state.mass[perm],
-        ids=sc.state.ids[perm],
-    )
+    shuffled = sc.state.permute(jnp.asarray(perm))
     out3 = step(shuffled, sc.fluid, ())
     a, b = out1.by_id(), out3.by_id()
     np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(b.pos))
 
 
 def test_sorted_segment_sum_conserves_mass():
-    sc = get_scene("fluid_3d")
-    state = binned.sort_by_cell(sc.state, sc.config)
-    from mpm_tpu.ops.transfer import tap_geometry
+    sc = get_scene("fluid_3d_cpu")
 
-    geom = tap_geometry(state.pos, sc.config)
-    grid = binned.p2g(state, geom, sc.config, sc.fluid)
+    @jax.jit
+    def run(state):
+        state, seg_start = binned.sort_by_cell(state, sc.config)
+        from mpm_tpu.ops.transfer import geometry
+
+        geom = geometry(state.pos, sc.config)
+        return binned.p2g(state, geom, seg_start, sc.config, sc.fluid)
+
+    grid = run(sc.state)
     np.testing.assert_allclose(
-        float(jnp.sum(grid.mass)), float(jnp.sum(state.mass)), rtol=1e-6
+        float(jnp.sum(grid.mass)), float(jnp.sum(sc.state.mass)), rtol=1e-6
     )
 
 
-def test_bin_particles_layout():
-    """K-slot dense binning (reserved for the Pallas kernels): every valid
-    particle lands in the slot of its own cell; no overflow on reference
-    scenes."""
+def test_blocked_segment_sum_exactness():
+    """Blocked segment sum must match direct per-segment sums, including
+    segments that straddle a block boundary, for trailing-axis layouts."""
+    from mpm_tpu.ops.segsum import sorted_segment_sum
+
+    rng = np.random.RandomState(1)
+    seg_lens = rng.randint(0, 60, size=300)
+    starts = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
+    ends = starts + seg_lens
+    n = int(ends[-1])
+    x = rng.randn(2, n).astype(np.float32)  # [F, N] lane-major
+    got = np.asarray(
+        jax.jit(lambda x: sorted_segment_sum(x, jnp.asarray(starts), jnp.asarray(ends), block=64))(
+            jnp.asarray(x)
+        )
+    )
+    want = np.stack([x[:, s:e].sum(-1) for s, e in zip(starts, ends)], axis=-1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_bin_slots_layout():
+    """K-slot binning (reserved for Pallas kernels): every particle lands in
+    its own cell's slot; no overflow on reference scenes."""
     sc = get_scene("dam_break_2d")
-    b = bin_particles(sc.state, sc.config)
-    assert int(b.overflow) == 0
-    assert bool(jnp.all(b.valid))
-    np.testing.assert_allclose(
-        float(jnp.sum(b.mass)), float(jnp.sum(sc.state.mass)), rtol=1e-6
-    )
-    # round-trip: unbin recovers the sorted state
-    from mpm_tpu.ops.binning import unbin_field
 
-    pos_rt = unbin_field(b.pos, b.slot, sc.config.dim)
-    np.testing.assert_array_equal(np.asarray(pos_rt), np.asarray(b.state.pos))
+    @jax.jit
+    def run(state):
+        state, seg_start = binned.sort_by_cell(state, sc.config)
+        from mpm_tpu.ops.binning import bin_slots, gather_slot_field
+
+        slots = bin_slots(seg_start, sc.config, state.num_particles)
+        mass_b = gather_slot_field(state.mass, slots)
+        return slots, mass_b
+
+    slots, mass_b = run(sc.state)
+    assert int(slots.overflow) == 0
+    np.testing.assert_allclose(
+        float(jnp.sum(mass_b)), float(jnp.sum(sc.state.mass)), rtol=1e-6
+    )
+    assert int(jnp.sum(slots.count)) == sc.state.num_particles

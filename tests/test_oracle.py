@@ -2,7 +2,8 @@
 
 Test strategy per SURVEY.md §4: the reference has no automated tests; we
 formalize its implicit oracle pattern (multiple implementations cross-checked)
-plus property tests on physical invariants.
+plus property tests on physical invariants. Layout note: SimState is
+lane-major — pos is [D, N].
 """
 
 import jax
@@ -11,8 +12,8 @@ import numpy as np
 import pytest
 
 from mpm_tpu import get_scene, make_step, zero_grid
-from mpm_tpu.ops import reference
-from mpm_tpu.ops.transfer import tap_geometry
+from mpm_tpu.ops import bspline, reference
+from mpm_tpu.ops.transfer import geometry, flat_tap_offsets
 
 
 @pytest.fixture()
@@ -29,26 +30,35 @@ def test_scene_particle_counts():
 
 
 def test_bspline_partition_of_unity(scene2d):
-    geom = tap_geometry(scene2d.state.pos, scene2d.config)
-    np.testing.assert_allclose(np.sum(np.asarray(geom.wt), axis=1), 1.0, atol=1e-6)
+    geom = geometry(scene2d.state.pos, scene2d.config)
+    taps = bspline.taps(scene2d.config.dim)
+    wsum = sum(np.asarray(bspline.tap_weight(geom.d, t)) for t in taps)
+    np.testing.assert_allclose(wsum, 1.0, atol=1e-6)
     # first moment: sum_t w_t * dist_t == 0 (quadratic B-spline reproduces
     # linear fields) — this is what makes P2G momentum-conserving
-    m1 = np.einsum("nt,ntd->nd", np.asarray(geom.wt), np.asarray(geom.dist))
+    m1 = sum(
+        np.asarray(bspline.tap_weight(geom.d, t) * bspline.tap_dist(geom.d, t))
+        for t in taps
+    )
     np.testing.assert_allclose(m1, 0.0, atol=1e-5)
 
 
 def test_p2g_conserves_mass_and_momentum(scene2d):
     state, config = scene2d.state, scene2d.config
-    # give particles nontrivial velocity and C
     key = jax.random.PRNGKey(0)
     state.vel = jax.random.normal(key, state.vel.shape) * 0.1
-    geom = tap_geometry(state.pos, config)
-    grid = reference.p2g_1(state, zero_grid(config), geom, config)
+
+    @jax.jit
+    def run(state):
+        geom = geometry(state.pos, config)
+        return reference.p2g_1(state, zero_grid(config), geom, config)
+
+    grid = run(state)
     np.testing.assert_allclose(
         float(jnp.sum(grid.mass)), float(jnp.sum(state.mass)), rtol=1e-6
     )
-    gm = np.asarray(jnp.sum(grid.mom.reshape(-1, config.dim), axis=0))
-    pm = np.asarray(jnp.sum(state.mass[:, None] * state.vel, axis=0))
+    gm = np.asarray(jnp.sum(grid.mom, axis=1))
+    pm = np.asarray(jnp.sum(state.mass * state.vel, axis=1))
     np.testing.assert_allclose(gm, pm, atol=1e-3)
 
 
@@ -60,11 +70,11 @@ def test_frames_run_and_stay_bounded(scene2d):
     pos = np.asarray(state.pos)
     assert np.all(np.isfinite(pos))
     assert np.all(pos >= config.clamp_lo - 1e-6)
-    res = np.asarray(config.grid_res)
+    res = np.asarray(config.grid_res).reshape(-1, 1)
     assert np.all(pos <= res - config.clamp_hi_offset + 1e-6)
     assert np.all(np.isfinite(np.asarray(state.vel)))
     # fluid should be falling: mean y position increased (gravity +y in 2D)
-    assert float(np.mean(pos[:, 1])) > 32.0
+    assert float(np.mean(pos[1])) > 32.0
 
 
 def test_dam_break_x_symmetry(scene2d):
@@ -88,7 +98,7 @@ def test_dam_break_x_symmetry(scene2d):
     step = make_step(config.replace(num_particles=pos.shape[0]), mode="reference")
     for _ in range(5):
         state = step(state, fluid, ())
-    x = np.asarray(state.pos[:, 0])
+    x = np.asarray(state.pos[0])
     np.testing.assert_allclose(np.mean(x), c, atol=1e-3)
     np.testing.assert_allclose(np.sort(x - c), np.sort(-(x - c)), atol=1e-3)
 
@@ -109,9 +119,8 @@ def test_interaction_pushes_particles(scene2d):
     center = jnp.asarray([32.0, 32.0])
     push = (Interaction.mouse(center, radius=10.0, strength=0.5),)
     s_push = step(state, fluid, push)
-    # particles near the center move away from it relative to no-push run
     state2 = get_scene("dam_break_2d").state
     s_free = step(state2, fluid, ())
-    d_push = np.linalg.norm(np.asarray(s_push.pos) - np.asarray(center), axis=1)
-    d_free = np.linalg.norm(np.asarray(s_free.pos) - np.asarray(center), axis=1)
+    d_push = np.linalg.norm(np.asarray(s_push.pos) - 32.0, axis=0)
+    d_free = np.linalg.norm(np.asarray(s_free.pos) - 32.0, axis=0)
     assert np.mean(d_push) > np.mean(d_free)
