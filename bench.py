@@ -30,8 +30,12 @@ def main():
     print(f"# bench scene: {n} particles, grid {scene.config.grid_res}, "
           f"device {jax.devices()[0]}", file=sys.stderr)
 
-    step = make_step(scene.config, mode="binned", substeps=1)
-    state = jax.device_put(scene.state)
+    from mpm_tpu.ops import bucketed
+
+    step = make_step(scene.config, mode="bucketed", substeps=1)
+    state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(
+        jax.device_put(scene.state)
+    )
 
     # warmup (compile + let the fluid develop a non-trivial configuration)
     t0 = time.perf_counter()
@@ -48,6 +52,8 @@ def main():
     dt = time.perf_counter() - t0
 
     assert np.all(np.isfinite(host)), "simulation produced non-finite positions"
+    lost = int(np.asarray(state.lost))
+    print(f"# lost particles (bucket overflow): {lost}", file=sys.stderr)
     value = iters * n / dt
     print(f"# {iters} substeps in {dt:.3f}s", file=sys.stderr)
     print(json.dumps({

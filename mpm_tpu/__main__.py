@@ -1,0 +1,194 @@
+"""Command-line entry — the headless analogue of the reference's scenes + UI
+(SURVEY.md §2.3: main_3d/main_2d scenes, runtime settings panel, debug
+overlay).
+
+    python -m mpm_tpu run fluid_3d --frames 60
+    python -m mpm_tpu render fluid_3d --frames 60 --out /tmp/frames
+    python -m mpm_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _common(p):
+    p.add_argument("scene", choices=None, nargs="?", default="fluid_3d")
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--mode", default="auto", choices=["auto", "reference", "binned", "bucketed"])
+    p.add_argument("--substeps", type=int, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--checkpoint-dir", default="/tmp/mpm_ckpt")
+    p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
+
+
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+    return jax
+
+
+def _build(args):
+    import jax
+
+    from . import get_scene, make_step
+    from .ops import bucketed
+
+    scene = get_scene(args.scene)
+    mode = args.mode
+    if mode == "auto":
+        mode = "bucketed"
+    step = make_step(scene.config, mode=mode, substeps=args.substeps)
+    if mode == "bucketed":
+        state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(scene.state)
+    else:
+        state = jax.device_put(scene.state)
+    if args.resume:
+        from .utils import checkpoint
+
+        state, fluid, _, _ = checkpoint.load(args.resume)
+        scene = scene._replace(fluid=fluid)
+        print(f"resumed from {args.resume}")
+    return scene, step, state, mode
+
+
+def cmd_run(args):
+    import numpy as np
+
+    _setup_jax()
+    from .utils.timing import FrameStats, fence
+
+    scene, step, state, mode = _build(args)
+    n = scene.state.num_particles
+    substeps = args.substeps or scene.config.substeps
+    print(f"scene={scene.name} N={n} grid={scene.config.grid_res} mode={mode}")
+
+    stats = FrameStats()
+    t0 = time.perf_counter()
+    state = step(state, scene.fluid, ())
+    fence(state)
+    print(f"compile+first frame: {time.perf_counter() - t0:.1f}s")
+
+    for i in range(args.frames):
+        state = step(state, scene.fluid, ())
+        fence(state)  # honest frame pacing (see utils/timing.py)
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            from .utils import checkpoint
+
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            path = os.path.join(args.checkpoint_dir, f"frame_{i+1:05d}.npz")
+            checkpoint.save(path, state, scene.fluid, scene.config)
+            print(f"checkpointed {path}")
+        stats.tick()
+    fence(state)
+    s = stats.stats
+    pps = n * substeps * s["fps"]
+    print(
+        f"frames={args.frames} avg={s['avg_ms']:.2f}ms min={s['min_ms']:.2f} "
+        f"max={s['max_ms']:.2f} fps={s['fps']:.1f} -> {pps/1e6:.1f}M particle-steps/s"
+    )
+    leaves = None
+    if mode == "bucketed":
+        print(f"lost particles: {int(np.asarray(state.lost))}")
+
+
+def cmd_render(args):
+    import numpy as np
+
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from .ops import bucketed
+    from .render import (
+        Camera,
+        RenderConfig,
+        SSFRParams,
+        default_view,
+        make_renderer,
+        write_png,
+    )
+
+    scene, step, state, mode = _build(args)
+    cam = Camera(width=args.width, height=args.height)
+    rc = RenderConfig(
+        camera=cam,
+        mode=args.render_mode,
+        ssfr=SSFRParams(particle_sphere_radius=args.sphere_radius),
+        sphere_render_ratio=args.sphere_render_ratio,
+    )
+    renderer = make_renderer(rc)
+    view = jnp.asarray(default_view(scene.config.grid_res))
+    os.makedirs(args.out, exist_ok=True)
+
+    @jax.jit
+    def extract(state):
+        if mode == "bucketed":
+            pos = state.pos.reshape(state.pos.shape[0], -1)
+            vel = state.vel.reshape(state.vel.shape[0], -1)
+            live = state.mass.reshape(-1) > 0
+            # dead slots sit parked at cell centers — push them behind the far
+            # plane by flagging zero velocity + offscreen depth via mask
+            pos = jnp.where(live, pos, -1e6)
+            return pos, jnp.linalg.norm(vel, axis=0)
+        return state.pos, jnp.linalg.norm(state.vel, axis=0)
+
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        state = step(state, scene.fluid, ())
+        pos, vmag = extract(state)
+        img = renderer(pos, vmag, view)
+        write_png(os.path.join(args.out, f"frame_{i:05d}.png"), np.asarray(img))
+        if i == 0:
+            print(f"first frame (compile): {time.perf_counter() - t0:.1f}s")
+    dt = time.perf_counter() - t0
+    print(f"{args.frames} frames -> {args.out} ({dt/args.frames*1e3:.0f} ms/frame avg incl. PNG IO)")
+
+
+def cmd_info(args):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    print(f"jax {jax.__version__}")
+    print(f"backend: {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  device: {d} ({d.platform})")
+    x = jnp.ones((4, 4))
+    print(f"compute ok: {float(x.sum())}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="mpm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="run a simulation headless")
+    _common(p_run)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_r = sub.add_parser("render", help="run + render PNG frames")
+    _common(p_r)
+    p_r.add_argument("--out", default="/tmp/mpm_frames")
+    p_r.add_argument("--width", type=int, default=960)
+    p_r.add_argument("--height", type=int, default=540)
+    p_r.add_argument(
+        "--render-mode",
+        default="default",
+        choices=["default", "velocity_spheres", "depth_debug", "none"],
+    )
+    p_r.add_argument("--sphere-radius", type=float, default=1.0)
+    p_r.add_argument("--sphere-render-ratio", type=float, default=1.0)
+    p_r.set_defaults(fn=cmd_render)
+
+    p_i = sub.add_parser("info", help="device/backend info")
+    p_i.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,7 @@ from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Boundary-condition flavors, matching the three commented variants in the
 # reference (mls-mpm/2d/fluid_multithread/MLSMPM2DFluidMultithread.cs:354-368).
@@ -156,15 +157,15 @@ class FluidParams:
             g[1] = float(gravity)
             gravity = tuple(g)
         return FluidParams(
-            dt=jnp.asarray(dt, dtype),
-            gravity=jnp.asarray(gravity, dtype),
-            rest_density=jnp.asarray(rest_density, dtype),
-            dynamic_viscosity=jnp.asarray(dynamic_viscosity, dtype),
-            eos_stiffness=jnp.asarray(eos_stiffness, dtype),
-            eos_power=jnp.asarray(eos_power, dtype),
-            pressure_floor=jnp.asarray(pressure_floor, dtype),
+            dt=np.asarray(dt, dtype),
+            gravity=np.asarray(gravity, dtype),
+            rest_density=np.asarray(rest_density, dtype),
+            dynamic_viscosity=np.asarray(dynamic_viscosity, dtype),
+            eos_stiffness=np.asarray(eos_stiffness, dtype),
+            eos_power=np.asarray(eos_power, dtype),
+            pressure_floor=np.asarray(pressure_floor, dtype),
         )
 
     def replace(self, **kw) -> "FluidParams":
-        kw = {k: jnp.asarray(v, self.dt.dtype) for k, v in kw.items()}
+        kw = {k: np.asarray(v, self.dt.dtype) for k, v in kw.items()}
         return dataclasses.replace(self, **kw)

@@ -128,12 +128,16 @@ def fluid_3d(grid_res: int = 64, box: float = 32.0, spacing: float = 0.6) -> Sce
     return Scene("fluid_3d", config, fluid, make_state(pos))
 
 
-def benchmark_scene(n_target: int, grid_res: int = 64) -> Scene:
-    """Scaled flagship scene for benchmarking: spacing tuned so the centered
-    box holds ~n_target particles at the reference's rest packing."""
-    # box of side b at spacing s holds (b/s)^3 particles; keep box = res/2 * 1.5
-    box = grid_res * 0.75
-    spacing = box / round(n_target ** (1.0 / 3.0))
+def benchmark_scene(n_target: int, grid_res: int | None = None) -> Scene:
+    """Scaled flagship scene for benchmarking: keeps the reference's rest
+    packing (spacing 0.6 -> ~4.6 particles/cell,
+    MLSMPM3DFluidMultithreadGPU.cs:656-671) and sizes the grid around the
+    box, so bucket occupancy matches the flagship at any particle count."""
+    side = round(n_target ** (1.0 / 3.0))
+    spacing = 0.6
+    box = side * spacing
+    if grid_res is None:
+        grid_res = int(box) + 12  # 6-cell margin per side
     scene = fluid_3d(grid_res=grid_res, box=box, spacing=spacing)
     return Scene(f"bench_{n_target}", scene.config, scene.fluid, scene.state)
 

@@ -24,6 +24,7 @@ from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def base_cell(pos: jax.Array) -> jax.Array:
@@ -60,11 +61,42 @@ def tap_weight(d: jax.Array, tap: tuple[int, ...]) -> jax.Array:
     return w
 
 
+def matvec(M: jax.Array, v: jax.Array) -> jax.Array:
+    """Explicit small-D matrix-vector product: M [D, D, ...], v [D, ...] ->
+    [D, ...]. Unrolled on purpose: jnp.einsum lowers to dot_general, for
+    which XLA picks layouts with the tiny D dims minor (measured 10.7x pad
+    blowup and 1.5 GB per materialized tap slice on TPU); elementwise
+    mul-adds keep the big axis minor and fuse."""
+    dim = M.shape[0]
+    rows = []
+    for i in range(dim):
+        acc = M[i, 0] * v[0]
+        for j in range(1, dim):
+            acc = acc + M[i, j] * v[j]
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
+def matvec_t(M: jax.Array, v: jax.Array) -> jax.Array:
+    """M^T @ v with the same unrolled formulation."""
+    dim = M.shape[0]
+    rows = []
+    for i in range(dim):
+        acc = M[0, i] * v[0]
+        for j in range(1, dim):
+            acc = acc + M[j, i] * v[j]
+        rows.append(acc)
+    return jnp.stack(rows)
+
+
 def tap_dist(d: jax.Array, tap: tuple[int, ...]) -> jax.Array:
     """Cell-center minus particle position for one tap: (tap - 1) - d.
 
     Derivation: cell = base + tap - 1; dist = cell - pos + 0.5
     = (tap - 1) - (pos - base - 0.5) = (tap - 1) - d — exactly the
     reference's `cell_dist = (cell_x - p.pos) + 0.5` (p2g_1.glsl:70)."""
-    off = jnp.asarray([t - 1 for t in tap], d.dtype).reshape(-1, *([1] * (d.ndim - 1)))
+    # numpy constant: trace-time jnp.asarray creates a device array whose
+    # embedding into the lowered module is pathologically slow on tunneled
+    # platforms (measured ~58 s per constant)
+    off = np.asarray([t - 1 for t in tap], "float32").reshape(-1, *([1] * (d.ndim - 1)))
     return off - d

@@ -20,6 +20,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_dataclass
@@ -39,32 +40,32 @@ class Interaction:
     def sphere(center, radius=15.0, strength=1.0, active=1.0, dtype=jnp.float32):
         """The flagship's sphere collider (g2p.glsl:122-129)."""
         return Interaction(
-            center=jnp.asarray(center, dtype),
-            radius=jnp.asarray(radius, dtype),
-            strength=jnp.asarray(strength, dtype),
-            inv_falloff=jnp.asarray(0.0, dtype),
-            active=jnp.asarray(active, dtype),
+            center=np.asarray(center, dtype),
+            radius=np.asarray(radius, dtype),
+            strength=np.asarray(strength, dtype),
+            inv_falloff=np.asarray(0.0, dtype),
+            active=np.asarray(active, dtype),
         )
 
     @staticmethod
     def mouse(center, radius=10.0, strength=0.1, active=1.0, dtype=jnp.float32):
         """The 2D mouse repulsion (MLSMPM2DFluid.cs:382-406)."""
         return Interaction(
-            center=jnp.asarray(center, dtype),
-            radius=jnp.asarray(radius, dtype),
-            strength=jnp.asarray(strength, dtype),
-            inv_falloff=jnp.asarray(1.0, dtype),
-            active=jnp.asarray(active, dtype),
+            center=np.asarray(center, dtype),
+            radius=np.asarray(radius, dtype),
+            strength=np.asarray(strength, dtype),
+            inv_falloff=np.asarray(1.0, dtype),
+            active=np.asarray(active, dtype),
         )
 
     @staticmethod
     def none(dim: int, dtype=jnp.float32):
         return Interaction(
-            center=jnp.zeros((dim,), dtype),
-            radius=jnp.asarray(1.0, dtype),
-            strength=jnp.asarray(0.0, dtype),
-            inv_falloff=jnp.asarray(0.0, dtype),
-            active=jnp.asarray(0.0, dtype),
+            center=np.zeros((dim,), dtype),
+            radius=np.asarray(1.0, dtype),
+            strength=np.asarray(0.0, dtype),
+            inv_falloff=np.asarray(0.0, dtype),
+            active=np.asarray(0.0, dtype),
         )
 
 

@@ -19,6 +19,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.params import FluidParams, SimConfig
 from ..core.state import Grid, SimState, zero_grid
@@ -117,7 +118,7 @@ def g2p_tail(
     (g2p.glsl:110-147, MLSMPM2DFluid.cs:375-416)."""
     pos = state.pos + vel * fp.dt
 
-    res = jnp.asarray(config.grid_res, pos.dtype).reshape(-1, 1)
+    res = np.asarray(config.grid_res, np.float32).reshape(-1, 1)
     pos = jnp.clip(pos, config.clamp_lo, res - config.clamp_hi_offset)
 
     vel = apply_interactions(pos, vel, interactions)

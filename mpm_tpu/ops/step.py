@@ -54,13 +54,18 @@ def make_step(
     "pallas" (fused TPU kernels), or "auto" (best available for the backend).
     """
     if mode == "auto":
-        mode = "binned"
+        mode = "bucketed"
     if mode == "reference":
         substep_fn: SubstepFn = reference.substep
     elif mode == "binned":
         from . import binned
 
         substep_fn = binned.substep
+    elif mode == "bucketed":
+        # state must be a BucketState (ops/bucketed.from_simstate)
+        from . import bucketed
+
+        substep_fn = bucketed.substep
     elif mode == "pallas":
         from .pallas import step as pallas_step
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.params import FluidParams
 
@@ -38,7 +39,7 @@ def viscous_strain(C: jax.Array, legacy: bool = False) -> jax.Array:
     if not legacy:
         return full
     d = C.shape[0]
-    eye = jnp.eye(d, dtype=C.dtype)[:, :, None]
+    eye = np.eye(d, dtype=np.float32)[:, :, None]
     # off-diagonals = C_ij + C_ji, diagonal = C_ii
     return full - eye * Ct
 
@@ -59,7 +60,7 @@ def fused_force_term(
     safe_density = jnp.where(density > 0, density, 1.0)
     volume = mass / safe_density  # [N]
     pressure = eos_pressure(safe_density, fp)  # [N]
-    eye = jnp.eye(d, dtype=C.dtype)[:, :, None]
+    eye = np.eye(d, dtype=np.float32)[:, :, None]
     stress = -pressure * eye + fp.dynamic_viscosity * viscous_strain(C, legacy_strain)
     eq16 = (-4.0 * fp.dt) * volume * stress
     return jnp.where(density > 0, eq16, 0.0)

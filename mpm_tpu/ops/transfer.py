@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.params import SimConfig
 from . import bspline
@@ -28,7 +29,7 @@ class TransferGeometry(NamedTuple):
 
 def geometry(pos: jax.Array, config: SimConfig) -> TransferGeometry:
     base = bspline.base_cell(pos)
-    res = jnp.asarray(config.grid_res, jnp.int32).reshape(-1, 1)
+    res = np.asarray(config.grid_res, np.int32).reshape(-1, 1)
     # The reference never range-checks the scatter (SURVEY.md §2.1 quirks);
     # its safety is the position clamps. We clip defensively — with the
     # reference clamp bounds the clip is a no-op.
@@ -57,7 +58,7 @@ def p2g1_tap_contribs(state, d: jax.Array, tap: tuple[int, ...]):
     w = bspline.tap_weight(d, tap)
     dist = bspline.tap_dist(d, tap)  # [D, N]
     mass_c = w * state.mass
-    Cd = jnp.einsum("ijn,jn->in", state.C, dist)
+    Cd = bspline.matvec(state.C, dist)
     mom_c = mass_c * (state.vel + Cd)
     return mass_c, mom_c
 
@@ -67,4 +68,4 @@ def p2g2_tap_contribs(eq16: jax.Array, d: jax.Array, tap: tuple[int, ...]):
     (p2g_2.glsl:111-153). eq16: [D, D, N] -> [D, N]."""
     w = bspline.tap_weight(d, tap)
     dist = bspline.tap_dist(d, tap)
-    return w * jnp.einsum("ijn,jn->in", eq16, dist)
+    return w * bspline.matvec(eq16, dist)

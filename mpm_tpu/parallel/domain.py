@@ -1,0 +1,455 @@
+"""Spatial domain decomposition over the TPU mesh — SPMD grid-slab sharding.
+
+The reference is strictly single-device (SURVEY.md §2.5: "no multi-device
+decomposition of any kind"); this is the subsystem the TPU rebuild adds. The
+design follows SURVEY.md §5 "long-context" mapping: the spatial analogue of
+sequence/context parallelism is grid-domain decomposition —
+
+- the dense grid is sharded in slabs along axis 0 over a 1-D device mesh;
+- each shard owns the particles whose base cell lies in its slab, in
+  fixed-capacity lane-major arrays with dead-slot masking (mass == 0);
+- P2G accumulates into a local grid with one halo plane per side (the
+  quadratic B-spline support is one cell, p2g_1.glsl:56-93), which is
+  reduce-exchanged to neighbors over ICI with `lax.ppermute`;
+- the updated grid's edge planes are exchanged back so G2P can gather its
+  3^D neighborhood;
+- after advection, particles whose base cell left the slab migrate to the
+  neighbor via fixed-capacity ppermute buffers, folded into the existing
+  per-substep sort (migrants sort to the ends of the sorted order because
+  their cell ids are extreme — no extra sort, no scatter).
+
+Determinism: per-cell accumulation order equals the sorted order of the
+owning shard; in int32 fixed-point mode sharded and unsharded runs are
+bit-identical (integer adds commute).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.params import FluidParams, SimConfig
+from ..core.state import Grid, SimState
+from ..models.scenes import Scene
+from ..ops import binned, reference, transfer
+from ..ops.grid import update_grid
+from ..ops.interact import Interaction
+from ..ops.segsum import segment_bounds_for_offset, sorted_segment_sum
+
+DEAD_CID = np.int32(2_000_000_000)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardConfig:
+    n_shards: int
+    axis: str = "x"
+    local_capacity: int = 0  # particle slots per shard (N_cap)
+    migration_capacity: int = 0  # per-side migration buffer (P_cap)
+
+    def local_planes(self, config: SimConfig) -> int:
+        assert config.grid_res[0] % self.n_shards == 0, (
+            "grid axis 0 must divide evenly over shards"
+        )
+        return config.grid_res[0] // self.n_shards
+
+
+def _plane_cells(config: SimConfig) -> int:
+    return math.prod(config.grid_res[1:])
+
+
+def _local_config(config: SimConfig, sconf: ShardConfig) -> SimConfig:
+    """Config describing the padded local grid (slab + 1 halo plane/side);
+    used only for tap offsets / cell counts / dtype flags."""
+    loc_x = sconf.local_planes(config)
+    return config.replace(grid_res=(loc_x + 2, *config.grid_res[1:]))
+
+
+def _local_geometry(pos, alive, config: SimConfig, sconf: ShardConfig, x0):
+    """Geometry against the padded local grid: flat id uses the halo-shifted
+    x plane; dead particles get DEAD_CID (sort last, excluded from every
+    segment)."""
+    res = np.asarray(config.grid_res, np.int32).reshape(-1, 1)
+    base = jnp.clip(jnp.floor(pos).astype(jnp.int32), 1, res - 2)
+    d = pos - base.astype(pos.dtype) - 0.5
+    px = base[0] - x0 + 1  # padded plane index, interior = [1, loc_x]
+    lcid = px
+    for a in range(1, config.dim):
+        lcid = lcid * config.grid_res[a] + base[a]
+    lcid = jnp.where(alive, lcid, DEAD_CID)
+    return transfer.TransferGeometry(base=base, d=d, flat_base=lcid)
+
+
+def _update_grid_local(
+    grid: Grid, cfg_local: SimConfig, config: SimConfig, fp: FluidParams, x0
+) -> Grid:
+    """Grid update with GLOBAL boundary bands: axis-0 band membership is
+    evaluated at global coordinates (local plane p -> global x = x0 + p - 1);
+    other axes are global already. Reuses the dense update by temporarily
+    treating the padded grid as the full grid and masking axis-0 bands
+    manually."""
+    from ..ops import fixed_point
+    from ..ops.grid import axis_indices
+    from ..core.params import BC_FRICTION, BC_SLIP, BC_STICK
+
+    if config.fixed_point:
+        mass = fixed_point.decode(grid.mass, config.fixed_point_mult, config.dtype)
+        mom = fixed_point.decode(grid.mom, config.fixed_point_mult, config.dtype)
+    else:
+        mass, mom = grid.mass, grid.mom
+
+    has_mass = mass > 0
+    vel = mom / jnp.where(has_mass, mass, 1.0) + fp.dt * fp.gravity[:, None]
+
+    idxs = axis_indices(cfg_local)
+    gx = x0 + idxs[0] - 1  # global x of each padded plane
+    bands = [
+        (gx < config.bc_band_lo)
+        | (gx > config.grid_res[0] - 1 - config.bc_band_hi)
+    ]
+    for a in range(1, config.dim):
+        bands.append(
+            (idxs[a] < config.bc_band_lo)
+            | (idxs[a] > config.grid_res[a] - 1 - config.bc_band_hi)
+        )
+
+    if config.bc == BC_SLIP:
+        vel = jnp.stack(
+            [jnp.where(bands[a], 0.0, vel[a]) for a in range(config.dim)]
+        )
+    elif config.bc == BC_STICK:
+        any_band = bands[0]
+        for a in range(1, config.dim):
+            any_band = any_band | bands[a]
+        vel = jnp.where(any_band, 0.0, vel)
+    elif config.bc == BC_FRICTION:
+        for a in range(config.dim):
+            scale = jnp.where(bands[a], config.friction, 1.0)
+            rows = [
+                jnp.where(bands[a], 0.0, vel[i]) if i == a else vel[i] * scale
+                for i in range(config.dim)
+            ]
+            vel = jnp.stack(rows)
+
+    vel = jnp.where(has_mass, vel, 0.0)
+    if config.fixed_point:
+        vel = fixed_point.encode(vel, config.fixed_point_mult)
+    return Grid(mom=vel, mass=grid.mass)
+
+
+def _perm(n, shift):
+    return [(i, (i + shift) % n) for i in range(n)]
+
+
+def sharded_substep(
+    state: SimState,
+    config: SimConfig,
+    sconf: ShardConfig,
+    fp: FluidParams,
+    interactions: Sequence[Interaction] = (),
+) -> SimState:
+    """One substep on the local shard (runs inside shard_map)."""
+    n = sconf.n_shards
+    axname = sconf.axis
+    ax = jax.lax.axis_index(axname)
+    loc_x = sconf.local_planes(config)
+    pc = _plane_cells(config)
+    x0 = ax * loc_x
+    cfg_local = _local_config(config, sconf)
+    n_cap = state.num_particles
+    p_cap = sconf.migration_capacity
+
+    alive = state.mass > 0
+
+    # ---- sort by local cell id (dead last) ----
+    geom0 = _local_geometry(state.pos, alive, config, sconf, x0)
+    order = jnp.argsort(geom0.flat_base)
+    state = state.permute(order)
+    alive = state.mass > 0
+    lcid_s = geom0.flat_base[order]
+    seg_start = jnp.searchsorted(
+        lcid_s, jnp.arange(cfg_local.num_cells + 1, dtype=lcid_s.dtype)
+    ).astype(jnp.int32)
+    geom = _local_geometry(state.pos, alive, config, sconf, x0)
+
+    # ---- P2G into padded local grid ----
+    grid = binned.p2g(state, geom, seg_start, cfg_local, fp)
+
+    # ---- halo reduce: my halo planes add into neighbors' edge interiors ----
+    def plane(gr, p):
+        return (
+            jax.lax.dynamic_slice_in_dim(gr.mom, p * pc, pc, axis=1),
+            jax.lax.dynamic_slice_in_dim(gr.mass, p * pc, pc, axis=0),
+        )
+
+    lo_mom, lo_mass = plane(grid, 0)  # my x0-1 plane -> left nbr's last interior
+    hi_mom, hi_mass = plane(grid, loc_x + 1)  # -> right nbr's first interior
+    recv_hi_mom = jax.lax.ppermute(lo_mom, axname, _perm(n, -1))
+    recv_hi_mass = jax.lax.ppermute(lo_mass, axname, _perm(n, -1))
+    recv_lo_mom = jax.lax.ppermute(hi_mom, axname, _perm(n, 1))
+    recv_lo_mass = jax.lax.ppermute(hi_mass, axname, _perm(n, 1))
+    # wrap-around receives at the global domain edges are physically zero
+    # (positions are clamped >= 1 cell inside, g2p.glsl:115-119) — mask anyway
+    zero = jnp.zeros((), grid.mom.dtype)
+    recv_lo_mom = jnp.where(ax == 0, zero, recv_lo_mom)
+    recv_lo_mass = jnp.where(ax == 0, zero, recv_lo_mass)
+    recv_hi_mom = jnp.where(ax == n - 1, zero, recv_hi_mom)
+    recv_hi_mass = jnp.where(ax == n - 1, zero, recv_hi_mass)
+
+    def add_plane(gr, p, dmom, dmass):
+        mom = jax.lax.dynamic_update_slice_in_dim(
+            gr.mom, jax.lax.dynamic_slice_in_dim(gr.mom, p * pc, pc, 1) + dmom, p * pc, 1
+        )
+        mass = jax.lax.dynamic_update_slice_in_dim(
+            gr.mass, jax.lax.dynamic_slice_in_dim(gr.mass, p * pc, pc, 0) + dmass, p * pc, 0
+        )
+        return Grid(mom=mom, mass=mass)
+
+    grid = add_plane(grid, 1, recv_lo_mom, recv_lo_mass)
+    grid = add_plane(grid, loc_x, recv_hi_mom, recv_hi_mass)
+
+    # ---- grid update (global boundary bands) ----
+    grid = _update_grid_local(grid, cfg_local, config, fp, x0)
+
+    # ---- halo exchange of updated velocities for G2P ----
+    first_mom, first_mass = plane(grid, 1)
+    last_mom, last_mass = plane(grid, loc_x)
+    halo_hi_mom = jax.lax.ppermute(first_mom, axname, _perm(n, -1))
+    halo_hi_mass = jax.lax.ppermute(first_mass, axname, _perm(n, -1))
+    halo_lo_mom = jax.lax.ppermute(last_mom, axname, _perm(n, 1))
+    halo_lo_mass = jax.lax.ppermute(last_mass, axname, _perm(n, 1))
+
+    def set_plane(gr, p, dmom, dmass):
+        mom = jax.lax.dynamic_update_slice_in_dim(gr.mom, dmom, p * pc, 1)
+        mass = jax.lax.dynamic_update_slice_in_dim(gr.mass, dmass, p * pc, 0)
+        return Grid(mom=mom, mass=mass)
+
+    grid = set_plane(grid, 0, jnp.where(ax == 0, zero, halo_lo_mom),
+                     jnp.where(ax == 0, zero, halo_lo_mass))
+    grid = set_plane(grid, loc_x + 1, jnp.where(ax == n - 1, zero, halo_hi_mom),
+                     jnp.where(ax == n - 1, zero, halo_hi_mass))
+
+    # ---- G2P + tail ----
+    new_state = reference.g2p(state, grid, geom, cfg_local, fp, interactions)
+    # freeze dead slots (parking inside the slab so their cell id stays local)
+    dtype = new_state.pos.dtype
+    park_rest = jnp.asarray(
+        [0.0] + [r / 2.0 for r in config.grid_res[1:]], dtype
+    )
+    park_x = jnp.asarray([1.0] + [0.0] * (config.dim - 1), dtype) * (
+        x0.astype(dtype) + loc_x / 2.0
+    )
+    park = (park_rest + park_x)[:, None]
+    pos = jnp.where(alive, new_state.pos, park)
+    vel = jnp.where(alive, new_state.vel, 0.0)
+    C = jnp.where(alive, new_state.C, 0.0)
+    state = SimState(pos=pos, vel=vel, C=C, mass=state.mass, ids=state.ids)
+
+    # ---- migration ----
+    new_bx = jnp.clip(
+        jnp.floor(state.pos[0]).astype(jnp.int32), 1, config.grid_res[0] - 2
+    )
+    go_left = alive & (new_bx < x0)
+    go_right = alive & (new_bx >= x0 + loc_x)
+
+    n_live = seg_start[-1]
+
+    def get_buffer(sl_start, mask):
+        idx = sl_start + jnp.arange(p_cap, dtype=jnp.int32)
+        idx = jnp.clip(idx, 0, n_cap - 1)
+        m = mask[idx]
+        buf = SimState(
+            pos=state.pos[:, idx],
+            vel=state.vel[:, idx],
+            C=state.C[:, :, idx],
+            mass=jnp.where(m, state.mass[idx], 0.0),
+            ids=jnp.where(m, state.ids[idx], -1),
+        )
+        return buf
+
+    # migrants-to-left sit at the front of the sorted order (lowest cell ids),
+    # migrants-to-right at the live tail (highest) — the sort already grouped
+    # them; fixed windows + masks extract up to p_cap each
+    left_buf = get_buffer(jnp.int32(0), go_left)
+    right_buf = get_buffer(jnp.maximum(n_live - p_cap, 0), go_right)
+
+    # mark migrants dead locally
+    migr = go_left | go_right
+    state = SimState(
+        pos=state.pos,
+        vel=state.vel,
+        C=state.C,
+        mass=jnp.where(migr, 0.0, state.mass),
+        ids=state.ids,
+    )
+
+    # exchange: left_buf -> left neighbor, right_buf -> right neighbor
+    recv_from_right = jax.tree_util.tree_map(
+        lambda x: jax.lax.ppermute(x, axname, _perm(n, -1)), left_buf
+    )
+    recv_from_left = jax.tree_util.tree_map(
+        lambda x: jax.lax.ppermute(x, axname, _perm(n, 1)), right_buf
+    )
+    # wrap-around at the global edges carries no live particles (positions
+    # clamped inside the domain) — mask defensively
+    recv_from_left = dataclasses.replace(
+        recv_from_left, mass=jnp.where(ax == 0, 0.0, recv_from_left.mass)
+    )
+    recv_from_right = dataclasses.replace(
+        recv_from_right, mass=jnp.where(ax == n - 1, 0.0, recv_from_right.mass)
+    )
+
+    # land received particles in the tail 2*p_cap slots: live particles never
+    # reach there (capacity invariant n_live <= n_cap - 2*p_cap)
+    def land(st, buf, offset):
+        return SimState(
+            pos=jax.lax.dynamic_update_slice_in_dim(st.pos, buf.pos, offset, 1),
+            vel=jax.lax.dynamic_update_slice_in_dim(st.vel, buf.vel, offset, 1),
+            C=jax.lax.dynamic_update_slice_in_dim(st.C, buf.C, offset, 2),
+            mass=jax.lax.dynamic_update_slice_in_dim(st.mass, buf.mass, offset, 0),
+            ids=jax.lax.dynamic_update_slice_in_dim(st.ids, buf.ids, offset, 0),
+        )
+
+    state = land(state, recv_from_left, n_cap - 2 * p_cap)
+    state = land(state, recv_from_right, n_cap - p_cap)
+    return state
+
+
+def make_sharded_step(
+    config: SimConfig,
+    sconf: ShardConfig,
+    mesh: Mesh,
+    substeps: int | None = None,
+):
+    """Jitted sharded frame step: (global SimState, FluidParams, interactions)
+    with particle arrays sharded along the particle axis."""
+    pspecs = SimState(
+        pos=P(None, sconf.axis),
+        vel=P(None, sconf.axis),
+        C=P(None, None, sconf.axis),
+        mass=P(sconf.axis),
+        ids=P(sconf.axis),
+    )
+
+    nsub = substeps if substeps is not None else config.substeps
+
+    def frame(state, fp, interactions):
+        def local(state, fp, interactions):
+            def body(s, _):
+                return (
+                    sharded_substep(s, config, sconf, fp, interactions),
+                    None,
+                )
+
+            out, _ = jax.lax.scan(body, state, None, length=nsub)
+            return out
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(pspecs, P(), P()),
+            out_specs=pspecs,
+        )(state, fp, interactions)
+
+    return jax.jit(frame, donate_argnums=(0,))
+
+
+def shard_scene(
+    scene: Scene,
+    sconf: ShardConfig,
+    mesh: Mesh,
+) -> SimState:
+    """Distribute a scene's particles into per-shard fixed-capacity arrays
+    (dead-slot padded) and device_put with the matching sharding."""
+    config = scene.config
+    n = sconf.n_shards
+    loc_x = config.grid_res[0] // n
+    n_cap = sconf.local_capacity
+    p_cap = sconf.migration_capacity
+    assert n_cap > 0 and p_cap >= 0
+
+    pos = np.asarray(scene.state.pos)  # [D, N]
+    vel = np.asarray(scene.state.vel)
+    C = np.asarray(scene.state.C)
+    mass = np.asarray(scene.state.mass)
+    ids = np.asarray(scene.state.ids)
+    shard_of = np.clip(np.floor(pos[0]).astype(np.int64) // loc_x, 0, n - 1)
+
+    dim = config.dim
+    g_pos = np.zeros((dim, n * n_cap), np.float32)
+    g_vel = np.zeros((dim, n * n_cap), np.float32)
+    g_C = np.zeros((dim, dim, n * n_cap), np.float32)
+    g_mass = np.zeros((n * n_cap,), np.float32)
+    g_ids = np.full((n * n_cap,), -1, np.int32)
+
+    for s in range(n):
+        sel = np.nonzero(shard_of == s)[0]
+        cnt = len(sel)
+        assert cnt <= n_cap - 2 * p_cap, (
+            f"shard {s}: {cnt} particles exceed capacity {n_cap} - 2*{p_cap}"
+        )
+        base = s * n_cap
+        g_pos[:, base : base + cnt] = pos[:, sel]
+        g_vel[:, base : base + cnt] = vel[:, sel]
+        g_C[:, :, base : base + cnt] = C[:, :, sel]
+        g_mass[base : base + cnt] = mass[sel]
+        g_ids[base : base + cnt] = ids[sel]
+        # park dead slots inside the slab
+        park_x = (s + 0.5) * loc_x
+        g_pos[0, base + cnt : base + n_cap] = park_x
+        for a in range(1, dim):
+            g_pos[a, base + cnt : base + n_cap] = config.grid_res[a] / 2.0
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return SimState(
+        pos=put(g_pos, P(None, sconf.axis)),
+        vel=put(g_vel, P(None, sconf.axis)),
+        C=put(g_C, P(None, None, sconf.axis)),
+        mass=put(g_mass, P(sconf.axis)),
+        ids=put(g_ids, P(sconf.axis)),
+    )
+
+
+def gather_live(state: SimState) -> SimState:
+    """Host-side: drop dead slots and order by id (for analysis/compare)."""
+    mass = np.asarray(state.mass)
+    live = mass > 0
+    idx = np.nonzero(live)[0]
+    out = SimState(
+        pos=jnp.asarray(np.asarray(state.pos)[:, idx]),
+        vel=jnp.asarray(np.asarray(state.vel)[:, idx]),
+        C=jnp.asarray(np.asarray(state.C)[:, :, idx]),
+        mass=jnp.asarray(mass[idx]),
+        ids=jnp.asarray(np.asarray(state.ids)[idx]),
+    )
+    return out.by_id()
+
+
+def demo_sharded_step(n_devices: int) -> None:
+    """Compile + run one tiny sharded step on an n-device mesh (the driver's
+    dryrun_multichip entry)."""
+    from ..models.scenes import fluid_3d
+
+    devs = jax.devices()[:n_devices]
+    mesh = Mesh(np.array(devs), ("x",))
+    scene = fluid_3d(grid_res=16, box=8.0, spacing=1.0)
+    config = scene.config.replace(substeps=1)
+    sconf = ShardConfig(
+        n_shards=n_devices,
+        local_capacity=max(2 * scene.state.num_particles // n_devices, 64),
+        migration_capacity=16,
+    )
+    state = shard_scene(
+        Scene(scene.name, config, scene.fluid, scene.state), sconf, mesh
+    )
+    step = make_sharded_step(config, sconf, mesh, substeps=1)
+    out = step(state, scene.fluid, ())
+    np.asarray(out.pos)

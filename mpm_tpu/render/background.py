@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .camera import Camera, screen_to_view_dir
 
@@ -58,18 +59,18 @@ def sky_color(dirs: jax.Array) -> jax.Array:
     """Procedural sky: horizon-to-zenith gradient + sun disc. dirs [..., 3]
     world space, y up. Doubles as the reflection cubemap."""
     y = jnp.clip(dirs[..., 1], -1.0, 1.0)
-    horizon = jnp.asarray([0.75, 0.85, 0.95])
-    zenith = jnp.asarray([0.25, 0.45, 0.75])
-    ground = jnp.asarray([0.35, 0.33, 0.3])
+    horizon = np.asarray([0.75, 0.85, 0.95], np.float32)
+    zenith = np.asarray([0.25, 0.45, 0.75], np.float32)
+    ground = np.asarray([0.35, 0.33, 0.3], np.float32)
     t = jnp.clip(y, 0.0, 1.0)[..., None]
     sky = horizon * (1.0 - t) + zenith * t
     below = jnp.clip(-y, 0.0, 1.0)[..., None]
     col = sky * (1.0 - below) + ground * below
-    sun_dir = jnp.asarray([0.35, 0.65, 0.2])
-    sun_dir = sun_dir / jnp.linalg.norm(sun_dir)
+    sun_dir = np.asarray([0.35, 0.65, 0.2], np.float32)
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
     cos_sun = jnp.sum(dirs * sun_dir, axis=-1)
     sun = jnp.clip((cos_sun - 0.998) / 0.002, 0.0, 1.0)[..., None]
-    return col + sun * jnp.asarray([6.0, 5.5, 4.5])
+    return col + sun * np.asarray([6.0, 5.5, 4.5], np.float32)
 
 
 def make_cubemap_sampler(faces: jax.Array | None = None):
@@ -117,7 +118,7 @@ def render_background(
     dirs_v = screen_to_view_dir(cam)  # [H,W,3]
     dirs = dirs_v @ rot  # to world (R^T per pixel)
 
-    big = jnp.asarray(cam.far, jnp.float32)
+    big = np.float32(cam.far)
     t_best = jnp.full(dirs.shape[:2], big)
     c_best = sky_color(dirs)
 
@@ -129,15 +130,15 @@ def render_background(
     check = ((jnp.floor(p[..., 0] / scene.checker) + jnp.floor(p[..., 2] / scene.checker)) % 2.0) < 1.0
     fcol = jnp.where(
         check[..., None],
-        jnp.asarray(scene.floor_color_a),
-        jnp.asarray(scene.floor_color_b),
+        np.asarray(scene.floor_color_a, np.float32),
+        np.asarray(scene.floor_color_b, np.float32),
     )
     take = hit_f & (t_floor < t_best)
     t_best = jnp.where(take, t_floor, t_best)
     c_best = jnp.where(take[..., None], fcol, c_best)
 
     for s in scene.spheres:
-        oc = eye - jnp.asarray(s.center)
+        oc = eye - np.asarray(s.center, np.float32)
         b = jnp.sum(dirs * oc, axis=-1)
         c = jnp.sum(oc * oc) - s.radius * s.radius
         disc = b * b - c
@@ -145,14 +146,14 @@ def render_background(
         hit = (disc > 0) & (t_hit > 0) & (t_hit < t_best)
         # simple lambert from above
         pth = eye + dirs * t_hit[..., None]
-        n = (pth - jnp.asarray(s.center)) / s.radius
+        n = (pth - np.asarray(s.center, np.float32)) / s.radius
         lam = 0.35 + 0.65 * jnp.clip(n[..., 1], 0.0, 1.0)
         t_best = jnp.where(hit, t_hit, t_best)
-        c_best = jnp.where(hit[..., None], jnp.asarray(s.color) * lam[..., None], c_best)
+        c_best = jnp.where(hit[..., None], np.asarray(s.color, np.float32) * lam[..., None], c_best)
 
     for box in scene.boxes:
-        lo = jnp.asarray(box.lo)
-        hi = jnp.asarray(box.hi)
+        lo = np.asarray(box.lo, np.float32)
+        hi = np.asarray(box.hi, np.float32)
         inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-6, dirs, 1e-6)
         t0 = (lo - eye) * inv
         t1 = (hi - eye) * inv
@@ -160,7 +161,7 @@ def render_background(
         tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
         hit = (tmax > jnp.maximum(tmin, 0.0)) & (tmin > 0) & (tmin < t_best)
         t_best = jnp.where(hit, tmin, t_best)
-        c_best = jnp.where(hit[..., None], jnp.asarray(box.color) * 0.85, c_best)
+        c_best = jnp.where(hit[..., None], np.asarray(box.color, np.float32) * 0.85, c_best)
 
     # depth = view-space -z = t * (-dirs_v.z)
     depth = t_best * (-dirs_v[..., 2])

@@ -21,6 +21,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .camera import Camera, screen_to_view_dir, view_pos_from_depth
 from .splat import BG_DEPTH
@@ -73,8 +74,10 @@ def bilateral_blur_1d(
     # host-side constants (screen_space_fluid_rendering.gd:373-376)
     r = params.particle_sphere_radius
     depth_threshold = r * params.blur_depth_scale
-    proj_const = (params.blur_filter_size * r * 0.1 * (cam.height / 2.0)) / jnp.tan(
-        jnp.deg2rad(cam.fov_y_deg) / 2.0
+    import math
+
+    proj_const = (params.blur_filter_size * r * 0.1 * (cam.height / 2.0)) / math.tan(
+        math.radians(cam.fov_y_deg) / 2.0
     )
 
     live = (depth > 0.0) & (depth <= FAR_GUARD)
@@ -161,7 +164,7 @@ def shade(
     # light dir into view space (main_camera.gd pulls the scene light into
     # the effect, main_camera.gd:54-62); reference convention: light_dir
     # points from surface toward light in the half-vector formula
-    light_v = view_rot @ jnp.asarray(params.light_dir, fluid_depth.dtype)
+    light_v = view_rot @ np.asarray(params.light_dir, np.float32)
     light_v = -light_v / jnp.maximum(jnp.linalg.norm(light_v), 1e-9)
 
     hvec = light_v - ray_dir
@@ -195,7 +198,7 @@ def shade(
     sy = jnp.clip(yg - uv_off[..., 1] * h, 0, h - 1).astype(jnp.int32)
     transmitted = bg_color[sy, sx]
 
-    diffuse = jnp.asarray(params.diffuse_color, fluid_depth.dtype)
+    diffuse = np.asarray(params.diffuse_color, np.float32)
     transmittance = jnp.exp(
         -params.optical_density * (1.0 - diffuse) * params.thickness
     )  # Beer's law
