@@ -25,14 +25,16 @@ from mpm_tpu.models.scenes import benchmark_scene
 
 def main():
     n_target = 1_000_000
-    scene = benchmark_scene(n_target, grid_res=64)
+    scene = benchmark_scene(n_target)
     n = scene.state.num_particles
     print(f"# bench scene: {n} particles, grid {scene.config.grid_res}, "
           f"device {jax.devices()[0]}", file=sys.stderr)
 
     from mpm_tpu.ops import bucketed
 
-    step = make_step(scene.config, mode="bucketed", substeps=1)
+    mode = "bucketed" if jax.default_backend() == "cpu" else "pallas"
+    print(f"# step mode: {mode}", file=sys.stderr)
+    step = make_step(scene.config, mode=mode, substeps=1)
     state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(
         jax.device_put(scene.state)
     )

@@ -107,12 +107,17 @@ def fluid_3d_fixed_point(grid_res: int = 32, box: float = 16.0, spacing: float =
     return Scene("fluid_3d_fixed_point", config, fluid, make_state(pos))
 
 
-def fluid_3d(grid_res: int = 64, box: float = 32.0, spacing: float = 0.6) -> Scene:
+def fluid_3d(
+    grid_res: int = 64,
+    box: float = 32.0,
+    spacing: float = 0.6,
+    center: tuple[float, float, float] | None = None,
+) -> Scene:
     """S5 — the flagship 3D GPU variant
     (mls-mpm/3d/fluid_multithread_gpu/MLSMPM3DFluidMultithreadGPU.cs:43-98,654-671):
     64^3 grid, 32^3 box at spacing 0.6 -> 157,464 particles, 2 substeps/frame,
     eos_stiffness 1, eos_power 7, clamp [2, res-2], wall_min 3 / stiffness 1."""
-    pos = box_lattice((grid_res,) * 3, (box,) * 3, spacing)
+    pos = box_lattice((grid_res,) * 3, (box,) * 3, spacing, center=center)
     config = SimConfig(
         grid_res=(grid_res,) * 3,
         num_particles=pos.shape[0],
@@ -128,18 +133,27 @@ def fluid_3d(grid_res: int = 64, box: float = 32.0, spacing: float = 0.6) -> Sce
     return Scene("fluid_3d", config, fluid, make_state(pos))
 
 
-def benchmark_scene(n_target: int, grid_res: int | None = None) -> Scene:
-    """Scaled flagship scene for benchmarking: keeps the reference's rest
-    packing (spacing 0.6 -> ~4.6 particles/cell,
-    MLSMPM3DFluidMultithreadGPU.cs:656-671) and sizes the grid around the
-    box, so bucket occupancy matches the flagship at any particle count."""
+def benchmark_scene(
+    n_target: int, grid_res: int | None = None, bin_capacity: int = 16
+) -> Scene:
+    """Scaled flagship scene for benchmarking: the reference's rest packing
+    (spacing 0.6 -> ~4.6 particles/cell, max 8/cell,
+    MLSMPM3DFluidMultithreadGPU.cs:656-671), box RESTING on the floor — the
+    sustained regime (sloshing pool with hydrostatic compression), not a
+    free-fall impact whose pile-up compresses cells past any fixed K.
+    bin_capacity 16 covers hydrostatic bottom-of-pool density (~1.8x rest at
+    this depth under the weakly-compressible EOS) with margin."""
     side = round(n_target ** (1.0 / 3.0))
     spacing = 0.6
     box = side * spacing
     if grid_res is None:
-        grid_res = int(box) + 12  # 6-cell margin per side
-    scene = fluid_3d(grid_res=grid_res, box=box, spacing=spacing)
-    return Scene(f"bench_{n_target}", scene.config, scene.fluid, scene.state)
+        # >= 6-cell margin/side, rounded up to a multiple of 16 so plane
+        # sizes stay 128-divisible (Pallas kernel block constraint)
+        grid_res = -((int(box) + 12) // -16) * 16
+    center = (grid_res / 2.0, 3.5 + box / 2.0, grid_res / 2.0)
+    scene = fluid_3d(grid_res=grid_res, box=box, spacing=spacing, center=center)
+    config = scene.config.replace(bin_capacity=bin_capacity)
+    return Scene(f"bench_{n_target}", config, scene.fluid, scene.state)
 
 
 SCENES = {

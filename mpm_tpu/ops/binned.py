@@ -50,14 +50,13 @@ def _segsum_block(config: SimConfig) -> int:
     return 128 if config.fixed_point else 1024
 
 
-def p2g(
+def p2g_pass1(
     state: SimState,
     geom: transfer.TransferGeometry,
     seg_start: jax.Array,
     config: SimConfig,
-    fp: FluidParams,
 ) -> Grid:
-    """Both P2G passes (p2g_1.glsl + p2g_2.glsl), scatter-free."""
+    """P2G pass 1 (p2g_1.glsl): mass + APIC momentum, scatter-free."""
     tap_offs = transfer.flat_tap_offsets(config)
     block = _segsum_block(config)
     grid0 = zero_grid(config)
@@ -73,19 +72,48 @@ def p2g(
         gmom = gmom + sorted_segment_sum(
             _encode_maybe(mom_c, config), s, e, block=block
         )
-    grid = Grid(mom=gmom, mass=gmass)
+    return Grid(mom=gmom, mass=gmass)
+
+
+def p2g_pass2(
+    state: SimState,
+    geom: transfer.TransferGeometry,
+    seg_start: jax.Array,
+    grid: Grid,
+    config: SimConfig,
+    fp: FluidParams,
+) -> Grid:
+    """P2G pass 2 (p2g_2.glsl): density gather + EOS/viscosity force scatter.
+    `grid.mass` must already hold the COMPLETE neighborhood mass (in the
+    sharded path that means after the halo reduce + fill)."""
+    tap_offs = transfer.flat_tap_offsets(config)
+    block = _segsum_block(config)
+    nc = config.num_cells
 
     density = gather_density(state, grid, geom, config)
     eq16 = stress.fused_force_term(
         density, state.mass, state.C, fp, config.legacy_strain
     )
+    gmom = grid.mom
     for tap, off in zip(bspline.taps(config.dim), tap_offs):
         mom_c = transfer.p2g2_tap_contribs(eq16, geom.d, tap)
         s, e = segment_bounds_for_offset(seg_start, off, nc)
         gmom = gmom + sorted_segment_sum(
             _encode_maybe(mom_c, config), s, e, block=block
         )
-    return Grid(mom=gmom, mass=gmass)
+    return Grid(mom=gmom, mass=grid.mass)
+
+
+def p2g(
+    state: SimState,
+    geom: transfer.TransferGeometry,
+    seg_start: jax.Array,
+    config: SimConfig,
+    fp: FluidParams,
+) -> Grid:
+    """Both P2G passes (p2g_1.glsl + p2g_2.glsl), scatter-free."""
+    grid = p2g_pass1(state, geom, seg_start, config)
+    return p2g_pass2(state, geom, seg_start, grid, config, fp)
 
 
 def substep(

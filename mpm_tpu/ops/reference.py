@@ -118,8 +118,18 @@ def g2p_tail(
     (g2p.glsl:110-147, MLSMPM2DFluid.cs:375-416)."""
     pos = state.pos + vel * fp.dt
 
+    # per-axis python-float bounds (see transfer.geometry note)
+    pos = jnp.stack(
+        [
+            jnp.clip(
+                pos[a],
+                config.clamp_lo,
+                config.grid_res[a] - config.clamp_hi_offset,
+            )
+            for a in range(config.dim)
+        ]
+    )
     res = np.asarray(config.grid_res, np.float32).reshape(-1, 1)
-    pos = jnp.clip(pos, config.clamp_lo, res - config.clamp_hi_offset)
 
     vel = apply_interactions(pos, vel, interactions)
 

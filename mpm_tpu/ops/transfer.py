@@ -28,12 +28,17 @@ class TransferGeometry(NamedTuple):
 
 
 def geometry(pos: jax.Array, config: SimConfig) -> TransferGeometry:
-    base = bspline.base_cell(pos)
-    res = np.asarray(config.grid_res, np.int32).reshape(-1, 1)
+    base_raw = bspline.base_cell(pos)
     # The reference never range-checks the scatter (SURVEY.md §2.1 quirks);
     # its safety is the position clamps. We clip defensively — with the
-    # reference clamp bounds the clip is a no-op.
-    base = jnp.clip(base, 1, res - 2)
+    # reference clamp bounds the clip is a no-op. Per-axis python-int bounds:
+    # array-constant clip operands break shard_map+scan lowering (jax 0.9).
+    base = jnp.stack(
+        [
+            jnp.clip(base_raw[a], 1, config.grid_res[a] - 2)
+            for a in range(config.dim)
+        ]
+    )
     d = pos - base.astype(pos.dtype) - 0.5
     flat = base[0]
     for a in range(1, config.dim):

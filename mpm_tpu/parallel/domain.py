@@ -75,8 +75,15 @@ def _local_geometry(pos, alive, config: SimConfig, sconf: ShardConfig, x0):
     """Geometry against the padded local grid: flat id uses the halo-shifted
     x plane; dead particles get DEAD_CID (sort last, excluded from every
     segment)."""
-    res = np.asarray(config.grid_res, np.int32).reshape(-1, 1)
-    base = jnp.clip(jnp.floor(pos).astype(jnp.int32), 1, res - 2)
+    base_raw = jnp.floor(pos).astype(jnp.int32)
+    # per-axis python-int bounds: array-constant operands to clip trigger a
+    # closed_call lowering KeyError under shard_map+scan in jax 0.9
+    base = jnp.stack(
+        [
+            jnp.clip(base_raw[a], 1, config.grid_res[a] - 2)
+            for a in range(config.dim)
+        ]
+    )
     d = pos - base.astype(pos.dtype) - 0.5
     px = base[0] - x0 + 1  # padded plane index, interior = [1, loc_x]
     lcid = px
@@ -178,65 +185,107 @@ def sharded_substep(
     ).astype(jnp.int32)
     geom = _local_geometry(state.pos, alive, config, sconf, x0)
 
-    # ---- P2G into padded local grid ----
-    grid = binned.p2g(state, geom, seg_start, cfg_local, fp)
+    # ---- P2G pass 1 into padded local grid ----
+    grid = binned.p2g_pass1(state, geom, seg_start, cfg_local)
 
-    # ---- halo reduce: my halo planes add into neighbors' edge interiors ----
+    # ---- halo reduce (pass-1 mass + momentum) ----
     def plane(gr, p):
         return (
             jax.lax.dynamic_slice_in_dim(gr.mom, p * pc, pc, axis=1),
             jax.lax.dynamic_slice_in_dim(gr.mass, p * pc, pc, axis=0),
         )
 
-    lo_mom, lo_mass = plane(grid, 0)  # my x0-1 plane -> left nbr's last interior
-    hi_mom, hi_mass = plane(grid, loc_x + 1)  # -> right nbr's first interior
-    recv_hi_mom = jax.lax.ppermute(lo_mom, axname, _perm(n, -1))
-    recv_hi_mass = jax.lax.ppermute(lo_mass, axname, _perm(n, -1))
-    recv_lo_mom = jax.lax.ppermute(hi_mom, axname, _perm(n, 1))
-    recv_lo_mass = jax.lax.ppermute(hi_mass, axname, _perm(n, 1))
-    # wrap-around receives at the global domain edges are physically zero
-    # (positions are clamped >= 1 cell inside, g2p.glsl:115-119) — mask anyway
     zero = jnp.zeros((), grid.mom.dtype)
-    recv_lo_mom = jnp.where(ax == 0, zero, recv_lo_mom)
-    recv_lo_mass = jnp.where(ax == 0, zero, recv_lo_mass)
-    recv_hi_mom = jnp.where(ax == n - 1, zero, recv_hi_mom)
-    recv_hi_mass = jnp.where(ax == n - 1, zero, recv_hi_mass)
 
-    def add_plane(gr, p, dmom, dmass):
-        mom = jax.lax.dynamic_update_slice_in_dim(
-            gr.mom, jax.lax.dynamic_slice_in_dim(gr.mom, p * pc, pc, 1) + dmom, p * pc, 1
-        )
-        mass = jax.lax.dynamic_update_slice_in_dim(
-            gr.mass, jax.lax.dynamic_slice_in_dim(gr.mass, p * pc, pc, 0) + dmass, p * pc, 0
-        )
-        return Grid(mom=mom, mass=mass)
+    def halo_reduce(gr, mom_only: bool = False):
+        """Add my halo planes into the neighbors' edge interiors (wrap-around
+        at the global edges is physically zero — positions are clamped inside,
+        g2p.glsl:115-119 — masked anyway). `mom_only` skips mass — the second
+        reduce must not re-add the filled halo mass (it is the neighbor's own
+        interior mass, not a contribution)."""
+        lo_mom, lo_mass = plane(gr, 0)  # my x0-1 plane -> left nbr's last
+        hi_mom, hi_mass = plane(gr, loc_x + 1)  # -> right nbr's first
+        recv_hi_mom = jax.lax.ppermute(lo_mom, axname, _perm(n, -1))
+        recv_hi_mass = jax.lax.ppermute(lo_mass, axname, _perm(n, -1))
+        recv_lo_mom = jax.lax.ppermute(hi_mom, axname, _perm(n, 1))
+        recv_lo_mass = jax.lax.ppermute(hi_mass, axname, _perm(n, 1))
+        recv_lo_mom = jnp.where(ax == 0, zero, recv_lo_mom)
+        recv_lo_mass = jnp.where(ax == 0, zero, recv_lo_mass)
+        recv_hi_mom = jnp.where(ax == n - 1, zero, recv_hi_mom)
+        recv_hi_mass = jnp.where(ax == n - 1, zero, recv_hi_mass)
+        if mom_only:
+            recv_lo_mass = jnp.zeros_like(recv_lo_mass)
+            recv_hi_mass = jnp.zeros_like(recv_hi_mass)
 
-    grid = add_plane(grid, 1, recv_lo_mom, recv_lo_mass)
-    grid = add_plane(grid, loc_x, recv_hi_mom, recv_hi_mass)
+        def add_plane(g, p, dmom, dmass):
+            mom = jax.lax.dynamic_update_slice_in_dim(
+                g.mom,
+                jax.lax.dynamic_slice_in_dim(g.mom, p * pc, pc, 1) + dmom,
+                p * pc,
+                1,
+            )
+            mass = jax.lax.dynamic_update_slice_in_dim(
+                g.mass,
+                jax.lax.dynamic_slice_in_dim(g.mass, p * pc, pc, 0) + dmass,
+                p * pc,
+                0,
+            )
+            return Grid(mom=mom, mass=mass)
 
-    # ---- grid update (global boundary bands) ----
-    grid = _update_grid_local(grid, cfg_local, config, fp, x0)
-
-    # ---- halo exchange of updated velocities for G2P ----
-    first_mom, first_mass = plane(grid, 1)
-    last_mom, last_mass = plane(grid, loc_x)
-    halo_hi_mom = jax.lax.ppermute(first_mom, axname, _perm(n, -1))
-    halo_hi_mass = jax.lax.ppermute(first_mass, axname, _perm(n, -1))
-    halo_lo_mom = jax.lax.ppermute(last_mom, axname, _perm(n, 1))
-    halo_lo_mass = jax.lax.ppermute(last_mass, axname, _perm(n, 1))
+        gr = add_plane(gr, 1, recv_lo_mom, recv_lo_mass)
+        return add_plane(gr, loc_x, recv_hi_mom, recv_hi_mass)
 
     def set_plane(gr, p, dmom, dmass):
         mom = jax.lax.dynamic_update_slice_in_dim(gr.mom, dmom, p * pc, 1)
         mass = jax.lax.dynamic_update_slice_in_dim(gr.mass, dmass, p * pc, 0)
         return Grid(mom=mom, mass=mass)
 
-    grid = set_plane(grid, 0, jnp.where(ax == 0, zero, halo_lo_mom),
-                     jnp.where(ax == 0, zero, halo_lo_mass))
-    grid = set_plane(grid, loc_x + 1, jnp.where(ax == n - 1, zero, halo_hi_mom),
-                     jnp.where(ax == n - 1, zero, halo_hi_mass))
+    def halo_fill(gr, mom_too: bool):
+        """Fill my halo planes with the neighbors' edge-interior values (mass
+        always — the pass-2 density gather needs the complete neighborhood;
+        momentum only for the post-update velocity exchange). When momentum
+        is not filled the halo momentum is ZEROED so pass 2's fresh halo
+        contributions can be reduced over cleanly."""
+        first_mom, first_mass = plane(gr, 1)
+        last_mom, last_mass = plane(gr, loc_x)
+        fill_hi_mom = jax.lax.ppermute(first_mom, axname, _perm(n, -1))
+        fill_hi_mass = jax.lax.ppermute(first_mass, axname, _perm(n, -1))
+        fill_lo_mom = jax.lax.ppermute(last_mom, axname, _perm(n, 1))
+        fill_lo_mass = jax.lax.ppermute(last_mass, axname, _perm(n, 1))
+        lo_mom = jnp.where(ax == 0, zero, fill_lo_mom) if mom_too else (
+            jnp.zeros_like(fill_lo_mom)
+        )
+        hi_mom = jnp.where(ax == n - 1, zero, fill_hi_mom) if mom_too else (
+            jnp.zeros_like(fill_hi_mom)
+        )
+        gr = set_plane(gr, 0, lo_mom, jnp.where(ax == 0, zero, fill_lo_mass))
+        return set_plane(
+            gr, loc_x + 1, hi_mom, jnp.where(ax == n - 1, zero, fill_hi_mass)
+        )
+
+    grid = halo_reduce(grid)
+    # mass halo fill (density gather support) + zero halo momentum so the
+    # second reduce carries exactly pass-2's contributions
+    grid = halo_fill(grid, mom_too=False)
+
+    # ---- P2G pass 2 (density + EOS/viscosity force) ----
+    grid = binned.p2g_pass2(state, geom, seg_start, grid, cfg_local, fp)
+
+    # ---- second halo reduce: pass-2 momentum written into halo planes ----
+    grid = halo_reduce(grid, mom_only=True)
+
+    # ---- grid update (global boundary bands) ----
+    grid = _update_grid_local(grid, cfg_local, config, fp, x0)
+
+    # ---- halo exchange of updated velocities for G2P ----
+    grid = halo_fill(grid, mom_too=True)
 
     # ---- G2P + tail ----
-    new_state = reference.g2p(state, grid, geom, cfg_local, fp, interactions)
+    # gather against the LOCAL padded grid, but run the advection tail
+    # (clamps, wall springs) against GLOBAL coordinates — using cfg_local
+    # there would clamp every shard's particles into [0, loc_x+2)
+    vel_g, C_g = reference.g2p_gather(grid, geom, cfg_local)
+    new_state = reference.g2p_tail(state, vel_g, C_g, config, fp, interactions)
     # freeze dead slots (parking inside the slab so their cell id stays local)
     dtype = new_state.pos.dtype
     park_rest = jnp.asarray(
@@ -277,15 +326,23 @@ def sharded_substep(
     # migrants-to-right at the live tail (highest) — the sort already grouped
     # them; fixed windows + masks extract up to p_cap each
     left_buf = get_buffer(jnp.int32(0), go_left)
-    right_buf = get_buffer(jnp.maximum(n_live - p_cap, 0), go_right)
+    r_start = jnp.maximum(n_live - p_cap, 0)
+    right_buf = get_buffer(r_start, go_right)
 
-    # mark migrants dead locally
-    migr = go_left | go_right
+    # Mark ONLY the exported migrants dead; migrants outside the windows
+    # (more boundary-plane particles than p_cap) stay alive and retry next
+    # substep — their out-of-slab cell id sorts them to the array ends, and
+    # meanwhile their P2G contributions land in the halo planes, which the
+    # halo-reduce already routes to the owning neighbor.
+    idx_all = jnp.arange(n_cap, dtype=jnp.int32)
+    exported = (go_left & (idx_all < p_cap)) | (
+        go_right & (idx_all >= r_start) & (idx_all < n_live)
+    )
     state = SimState(
         pos=state.pos,
         vel=state.vel,
         C=state.C,
-        mass=jnp.where(migr, 0.0, state.mass),
+        mass=jnp.where(exported, 0.0, state.mass),
         ids=state.ids,
     )
 
@@ -442,10 +499,12 @@ def demo_sharded_step(n_devices: int) -> None:
     mesh = Mesh(np.array(devs), ("x",))
     scene = fluid_3d(grid_res=16, box=8.0, spacing=1.0)
     config = scene.config.replace(substeps=1)
+    # capacity covers the worst shard (particles are NOT uniform across
+    # slabs: the centered box occupies only the middle shards)
     sconf = ShardConfig(
         n_shards=n_devices,
-        local_capacity=max(2 * scene.state.num_particles // n_devices, 64),
-        migration_capacity=16,
+        local_capacity=scene.state.num_particles + 2 * 96 + 64,
+        migration_capacity=96,  # >= one boundary plane's population
     )
     state = shard_scene(
         Scene(scene.name, config, scene.fluid, scene.state), sconf, mesh

@@ -20,12 +20,21 @@ def to_uint8(img: np.ndarray) -> np.ndarray:
 
 
 def write_png(path: str, img: np.ndarray) -> None:
-    """img: [H, W, 3] uint8 or float (auto-converted)."""
-    if img.dtype != np.uint8:
-        img = to_uint8(img)
-    h, w = img.shape[:2]
+    """img: [H, W, 3] uint8 or float (auto-converted). Uses the native C++
+    encoder (mpm_tpu/native) when built; falls back to stdlib zlib."""
+    from .. import native
+
     if img.ndim == 2:
-        img = np.repeat(img[..., None], 3, axis=-1)
+        img = np.repeat(np.asarray(img)[..., None], 3, axis=-1)
+    if img.dtype != np.uint8:
+        tm = native.tonemap_u8(np.clip(np.asarray(img, np.float32), 0.0, 1.0))
+        img = tm if tm is not None else to_uint8(img)
+    data = native.encode_png(img)
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return
+    h, w = img.shape[:2]
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (

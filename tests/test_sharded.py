@@ -30,8 +30,10 @@ def test_sharded_matches_unsharded(n_dev):
     n = sc.state.num_particles
     sconf = domain.ShardConfig(
         n_shards=n_dev,
-        local_capacity=max(2 * n // n_dev, 128),
-        migration_capacity=32,
+        # capacity: worst shard holds ~half the box; migration windows must
+        # cover a full boundary plane's population (~100 here)
+        local_capacity=n + 2 * 128 + 64,
+        migration_capacity=128,
     )
     g_state = domain.shard_scene(sc, sconf, mesh)
     step = domain.make_sharded_step(sc.config, sconf, mesh, substeps=2)
@@ -56,7 +58,7 @@ def test_sharded_fixed_point_bit_exact():
     mesh = _mesh(4)
     n = sc.state.num_particles
     sconf = domain.ShardConfig(
-        n_shards=4, local_capacity=max(2 * n // 4, 128), migration_capacity=32
+        n_shards=4, local_capacity=n + 2 * 128 + 64, migration_capacity=128
     )
     g_state = domain.shard_scene(sc, sconf, mesh)
     step = domain.make_sharded_step(sc.config, sconf, mesh, substeps=2)
