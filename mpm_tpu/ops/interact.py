@@ -72,9 +72,11 @@ class Interaction:
 def apply_interactions(
     pos: jax.Array, vel: jax.Array, interactions: Sequence[Interaction]
 ) -> jax.Array:
-    """Add interaction impulses to `vel`. Shapes: pos/vel [D, N] lane-major."""
+    """Add interaction impulses to `vel`. Shapes: pos/vel [D, ...] lane-major
+    (linear [D, N] or bucketed [D, K, C])."""
     for it in interactions:
-        d = pos - it.center[:, None]  # [D, N]
+        center = it.center.reshape(-1, *([1] * (pos.ndim - 1)))
+        d = pos - center  # [D, ...]
         r2 = jnp.sum(d * d, axis=0)
         inside = (r2 < it.radius * it.radius) & (it.active > 0)
         norm = jnp.sqrt(r2)

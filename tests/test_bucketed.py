@@ -105,3 +105,26 @@ def test_bucketed_conserves_mass_and_count():
     assert int(b.lost) == 0
     np.testing.assert_allclose(float(jnp.sum(b.mass)), total0, rtol=1e-6)
     assert int(jnp.sum(b.mass > 0)) == sc.state.num_particles
+
+
+def test_bucketed_interaction_broadcasts():
+    """Interactions must broadcast over the bucketed [D, K, C] layout
+    (the flagship's sphere collider, g2p.glsl:122-129)."""
+    from mpm_tpu import Interaction
+
+    sc = _small_3d_fixed()
+    config = sc.config.replace(fixed_point=False)
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+    push = (Interaction.sphere(center=(8.0, 8.0, 8.0), radius=6.0, strength=1.0),)
+    step_p = jax.jit(lambda b, f: bucketed.substep(b, config, f, push))
+    step_f = jax.jit(lambda b, f: bucketed.substep(b, config, f, ()))
+    bp = bf = b0
+    for _ in range(3):  # the push lands on velocity AFTER advection
+        bp = step_p(bp, sc.fluid)
+        bf = step_f(bf, sc.fluid)
+    sp = bucketed.to_simstate(bp, sc.state.num_particles)
+    sf = bucketed.to_simstate(bf, sc.state.num_particles)
+    d_push = np.linalg.norm(np.asarray(sp.pos) - 8.0, axis=0).mean()
+    d_free = np.linalg.norm(np.asarray(sf.pos) - 8.0, axis=0).mean()
+    assert np.all(np.isfinite(np.asarray(sp.pos)))
+    assert d_push > d_free  # pushed away from the sphere center

@@ -1,0 +1,102 @@
+"""Headless renderer tests (SSFR pipeline, SURVEY.md §2.2 R1-R10)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpm_tpu.models.scenes import fluid_3d
+from mpm_tpu.render import (
+    Camera,
+    RenderConfig,
+    SSFRParams,
+    default_view,
+    make_renderer,
+    write_png,
+)
+from mpm_tpu.render.camera import linear_depth_to_ndc, ndc_depth_to_linear
+from mpm_tpu.render.pipeline import (
+    RENDER_DEPTH_DEBUG,
+    RENDER_NONE,
+    RENDER_VELOCITY_SPHERES,
+)
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    vel_mag = jnp.linalg.norm(sc.state.vel, axis=0)
+    cam = Camera(width=160, height=120)
+    view = jnp.asarray(default_view(sc.config.grid_res))
+    return sc, vel_mag, cam, view
+
+
+@pytest.mark.parametrize(
+    "mode", ["default", RENDER_VELOCITY_SPHERES, RENDER_DEPTH_DEBUG, RENDER_NONE]
+)
+def test_render_modes_produce_finite_frames(small_scene, mode):
+    sc, vel_mag, cam, view = small_scene
+    rc = RenderConfig(camera=cam, mode=mode)
+    img = np.asarray(make_renderer(rc)(sc.state.pos, vel_mag, view))
+    assert img.shape == (cam.height, cam.width, 3)
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.01  # something visible
+
+
+def test_fluid_is_visible_in_default_mode(small_scene):
+    """The fluid must change pixels vs background-only rendering."""
+    sc, vel_mag, cam, view = small_scene
+    fluid_img = np.asarray(
+        make_renderer(RenderConfig(camera=cam, mode="default"))(
+            sc.state.pos, vel_mag, view
+        )
+    )
+    bg_img = np.asarray(
+        make_renderer(RenderConfig(camera=cam, mode=RENDER_NONE))(
+            sc.state.pos, vel_mag, view
+        )
+    )
+    # the default camera frames 64^3 domains; the tiny 16^3 test box covers
+    # only ~0.5% of the frame
+    changed = np.mean(np.any(np.abs(fluid_img - bg_img) > 0.02, axis=-1))
+    assert changed > 0.002, "fluid did not render"
+
+
+def test_lod_ratio_reduces_coverage(small_scene):
+    """sphere_render_ratio reproduces the reference's LOD drop
+    (depth_map.gdshader:23-26): fewer instances -> less depth coverage."""
+    from mpm_tpu.render.splat import splat_particles, BG_DEPTH
+
+    sc, vel_mag, cam, view = small_scene
+
+    @jax.jit
+    def cover(ratio_full):
+        full = splat_particles(sc.state.pos, vel_mag, view, cam, sphere_render_ratio=1.0)
+        tenth = splat_particles(sc.state.pos, vel_mag, view, cam, sphere_render_ratio=0.1)
+        return jnp.sum(full.depth < BG_DEPTH), jnp.sum(tenth.depth < BG_DEPTH)
+
+    c_full, c_tenth = cover(1.0)
+    assert int(c_tenth) < int(c_full)
+    assert int(c_tenth) > 0
+
+
+def test_depth_linearization_roundtrip():
+    cam = Camera()
+    lin = jnp.asarray([1.0, 10.0, 100.0, 1000.0])
+    rt = ndc_depth_to_linear(linear_depth_to_ndc(lin, cam), cam)
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(lin), rtol=1e-4)
+
+
+def test_png_write_native_and_fallback(tmp_path, small_scene):
+    sc, vel_mag, cam, view = small_scene
+    img = np.asarray(
+        make_renderer(RenderConfig(camera=cam, mode="default"))(
+            sc.state.pos, vel_mag, view
+        )
+    )
+    path = str(tmp_path / "f.png")
+    write_png(path, img)
+    from mpm_tpu.render.image import read_png_rgb
+
+    rt = read_png_rgb(path)
+    assert rt.shape == (cam.height, cam.width, 3)
