@@ -100,3 +100,24 @@ def test_png_write_native_and_fallback(tmp_path, small_scene):
 
     rt = read_png_rgb(path)
     assert rt.shape == (cam.height, cam.width, 3)
+
+
+def test_render_2d_scene():
+    """2D visualization (main_2d analogue): dam-break renders visible fluid."""
+    import jax
+
+    from mpm_tpu import get_scene, make_step
+    from mpm_tpu.render.render2d import render_2d
+
+    sc = get_scene("dam_break_2d")
+    step = make_step(sc.config, mode="reference", donate=False)
+    state = step(sc.state, sc.fluid, ())
+    vel_mag = jnp.linalg.norm(state.vel, axis=0)
+    img = np.asarray(jax.jit(
+        lambda p, v: render_2d(p, v, sc.config.grid_res, scale=4)
+    )(state.pos, vel_mag))
+    assert img.shape == (256, 256, 3)
+    assert np.all(np.isfinite(img))
+    # 1,024 particles land on ~1.6% of pixels at this scale
+    coverage = np.mean(img[..., 2] > 0.2)
+    assert 0.005 < coverage < 0.8
