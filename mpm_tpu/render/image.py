@@ -86,13 +86,13 @@ def read_png_rgb(path: str) -> np.ndarray:
             pass
         elif ftype == 1:  # sub
             for i in range(3, stride):
-                line[i] = (line[i] + line[i - 3]) & 0xFF
+                line[i] = (int(line[i]) + int(line[i - 3])) & 0xFF
         elif ftype == 2:  # up
-            line = (line + prev) & 0xFF
+            line = ((line.astype(np.uint16) + prev) & 0xFF).astype(np.uint8)
         elif ftype == 3:  # average
             for i in range(stride):
                 left = line[i - 3] if i >= 3 else 0
-                line[i] = (line[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
+                line[i] = (int(line[i]) + ((int(left) + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:  # paeth
             for i in range(stride):
                 a = int(line[i - 3]) if i >= 3 else 0
@@ -101,7 +101,7 @@ def read_png_rgb(path: str) -> np.ndarray:
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
+                line[i] = (int(line[i]) + pred) & 0xFF
         out[y] = line.reshape(w, 3)
         prev = line
     return out

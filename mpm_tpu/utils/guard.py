@@ -74,5 +74,7 @@ class GuardedStep:
                     )
                 self.current_dt_scale *= self.dt_backoff
                 return self._good
-            self._good = out
+            # copy: steps built with donate=True would otherwise donate the
+            # saved buffers on the next call, deleting the rollback target
+            self._good = jax.tree_util.tree_map(jnp.copy, out)
         return out
