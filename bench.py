@@ -34,16 +34,20 @@ def main():
 
     mode = "bucketed" if jax.default_backend() == "cpu" else "pallas"
     print(f"# step mode: {mode}", file=sys.stderr)
-    step = make_step(scene.config, mode=mode, substeps=1)
+    # chunked stepping: 10 substeps scan per jit call — per-call Python/tunnel
+    # dispatch overhead is real on this platform, and the product runs frames
+    # (multi-substep scans), not single substeps
+    chunk = 10
+    step = make_step(scene.config, mode=mode, substeps=chunk)
     state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(
         jax.device_put(scene.state)
     )
 
     # warmup: compile + settle the pool into its steady sloshing state so the
     # measurement reflects sustained throughput, not the one-off settling
-    # transient (which is migration-heavy and compresses cells past K)
+    # transient (the full-width pool settles by vertical compression only)
     t0 = time.perf_counter()
-    for _ in range(150):
+    for _ in range(150 // chunk):
         state = step(state, scene.fluid, ())
     np.asarray(state.pos[:1])
     lost_warm = int(np.asarray(state.lost)) if hasattr(state, "lost") else 0
@@ -52,7 +56,7 @@ def main():
 
     iters = 100
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(iters // chunk):
         state = step(state, scene.fluid, ())
     host = np.asarray(state.pos)
     dt = time.perf_counter() - t0
@@ -68,6 +72,7 @@ def main():
         "value": value,
         "unit": "particle-steps/s",
         "vs_baseline": value / 1e9,
+        "particles_lost": lost,
     }))
 
 

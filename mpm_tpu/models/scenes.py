@@ -12,10 +12,11 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.params import BC_FRICTION, BC_SLIP, FluidParams, SimConfig
 from ..core.state import SimState, make_state
-from .emitters import box_lattice
+from .emitters import _axis_points, box_lattice
 
 
 class Scene(NamedTuple):
@@ -134,26 +135,88 @@ def fluid_3d(
 
 
 def benchmark_scene(
-    n_target: int, grid_res: int | None = None, bin_capacity: int = 16
+    n_target: int, grid_res: tuple[int, int, int] | None = None, bin_capacity: int = 16
 ) -> Scene:
-    """Scaled flagship scene for benchmarking: the reference's rest packing
-    (spacing 0.6 -> ~4.6 particles/cell, max 8/cell,
-    MLSMPM3DFluidMultithreadGPU.cs:656-671), box RESTING on the floor — the
-    sustained regime (sloshing pool with hydrostatic compression), not a
-    free-fall impact whose pile-up compresses cells past any fixed K.
-    bin_capacity 16 covers hydrostatic bottom-of-pool density (~1.8x rest at
-    this depth under the weakly-compressible EOS) with margin."""
-    side = round(n_target ** (1.0 / 3.0))
+    """Scaled flagship scene for benchmarking: a full-interior-width pool at
+    the reference's rest packing (spacing 0.6,
+    MLSMPM3DFluidMultithreadGPU.cs:656-671) resting on the floor. The pool
+    spans the whole interior span in x/z, so settling is purely vertical
+    hydrostatic compression — the sustained sloshing-pool regime — with no
+    dam-break surge (whose pile-up would compress cells past any fixed K and
+    overflow buckets). bin_capacity 16 covers the worst case: lattice cell
+    alignment packs up to 8 particles/cell at rest, and bottom-of-pool
+    hydrostatic density under the weak EOS is ~1.75x rest at this depth."""
     spacing = 0.6
-    box = side * spacing
     if grid_res is None:
-        # >= 6-cell margin/side, rounded up to a multiple of 16 so plane
-        # sizes stay 128-divisible (Pallas kernel block constraint)
-        grid_res = -((int(box) + 12) // -16) * 16
-    center = (grid_res / 2.0, 3.5 + box / 2.0, grid_res / 2.0)
-    scene = fluid_3d(grid_res=grid_res, box=box, spacing=spacing, center=center)
-    config = scene.config.replace(bin_capacity=bin_capacity)
-    return Scene(f"bench_{n_target}", config, scene.fluid, scene.state)
+        side = round(n_target ** (1.0 / 3.0)) * spacing  # cube side, cells
+        rx = -((int(side) + 12) // -16) * 16  # >= 6-cell margin, 16-aligned
+    else:
+        rx = grid_res[0]
+    width = rx - 6.0  # interior span: clamp_lo=2, walls at 3
+    # one spacing of slack stays unpopulated so per-layer lattice offsets
+    # (below) never push points outside the walls
+    per_axis = int(np.ceil((width - spacing) / spacing - 1e-9))
+    layers = -(n_target // -(per_axis * per_axis))
+    depth = layers * spacing
+    # compressed pool depth under the hydrostatic profile (see below): the
+    # grid only needs the settled pool + slosh headroom, not the rest-density
+    # column height
+    g = 0.3
+    k_eos, gamma, rho0 = 1.0, 7.0, 4.0
+    xi_l = (np.arange(layers) + 0.5) * spacing
+    s_l = (1.0 + g * rho0 * (depth - xi_l) / k_eos) ** (1.0 / gamma)
+    depth_c = float(np.sum(spacing / s_l))
+    if grid_res is None:
+        # NOTE (measured): sweeping the kernel grid along the gravity axis
+        # (grid (48, 80, 80), gravity on axis 0) was tried and is ~8x SLOWER
+        # (272 ms vs 35 ms/substep) despite skipping air planes — wider
+        # planes with stratified high-occupancy columns pessimize the fused
+        # kernel. Keep gravity on y with the sweep across it; 8-aligned so
+        # plane sizes stay 128-divisible.
+        ry = -(int(depth_c + 11) // -8) * 8  # floor 3 + ~8 cells slosh headroom
+        grid_res = (rx, ry, rx)
+    config = SimConfig(
+        grid_res=grid_res,
+        num_particles=per_axis * per_axis * layers,
+        substeps=2,
+        clamp_lo=2.0,
+        clamp_hi_offset=2.0,
+        wall_min=3.0,
+        wall_max_offset=3.0,
+        wall_stiffness=1.0,
+        bin_capacity=bin_capacity,
+    )
+    fluid = FluidParams.create(dim=3, eos_stiffness=1.0, eos_power=7.0)
+
+    # hydrostatic vertical profile: an uncompressed column dropped on the
+    # floor rings with a compression shock whose transient density exceeds
+    # any fixed bucket capacity. Instead pre-compress the lattice to the
+    # EOS equilibrium — p(xi) = g*rho0*(D - xi) exactly (xi = rest height,
+    # since rho dy = rho0 dxi), so the local compression is
+    # s(xi) = (1 + g*rho0*(D - xi)/k)^(1/gamma) — and let it settle with
+    # small ripples only.
+    dy = spacing / s_l
+    y = (3.0 + np.concatenate([[0.0], np.cumsum(dy)])[:-1] + 0.5 * dy).astype(
+        np.float32
+    )
+    # de-phase each layer's horizontal lattice (golden-ratio offsets): an
+    # aligned lattice stacks up to 4 points/cell/axis at bottom compression,
+    # i.e. 16/cell — exactly bin_capacity, so any ripple overflows. Offsetting
+    # layers spreads cells to ~rho*1 (<= ~12/cell at the bottom).
+    ax0 = 3.0 + (width - (per_axis - 1) * spacing) / 2.0 + spacing * np.arange(
+        per_axis, dtype=np.float32
+    )
+    slack = (width - (per_axis - 1) * spacing - 1e-3) / 2.0
+    parts = []
+    for i in range(layers):
+        ox = (i * 0.381966) % 1.0 * min(spacing, 2 * slack) - min(spacing / 2, slack)
+        oz = (i * 0.618034) % 1.0 * min(spacing, 2 * slack) - min(spacing / 2, slack)
+        gx, gz = np.meshgrid(ax0 + ox, ax0 + oz, indexing="ij")
+        gy = np.full_like(gx, y[i])
+        parts.append(np.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], -1))
+    pos = np.concatenate(parts, axis=0)
+    assert pos.shape[0] == config.num_particles
+    return Scene(f"bench_{n_target}", config, fluid, make_state(pos.astype(np.float32)))
 
 
 SCENES = {

@@ -50,6 +50,9 @@ from .stress import eos_pressure
 from .transfer import flat_tap_offsets
 
 
+CFL_EPS = 1e-3  # cell + 2 - eps still floors to cell + 1 for any res < 2^10
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BucketState:
@@ -59,6 +62,7 @@ class BucketState:
     mass: jax.Array  # [K, C]
     ids: jax.Array  # [K, C] int32, -1 = empty
     lost: jax.Array  # [] int32 — particles dropped by bucket overflow
+    cfl_clamped: jax.Array  # [] int32 — CFL bucket-clamp events (see g2p tail)
 
     @property
     def dim(self) -> int:
@@ -243,11 +247,25 @@ def g2p_bucketed(
     )
 
     occ = state.mass > 0
+    # CFL bucket clamp: particles faster than one cell/substep would leave the
+    # bucket's ±1-cell migration range and evaluate B-spline weights outside
+    # their support next substep — clamp pos into range and count the events
+    cell = center[:, None, :] - 0.5
+    pos_cfl = jnp.clip(pos, cell - 1.0, cell + 2.0 - CFL_EPS)
+    moved = occ & jnp.any(pos_cfl != pos, axis=0)
+    pos = pos_cfl
+
     pos = jnp.where(occ, pos, center[:, None, :] - 0.0)  # park empties in-cell
     vel = jnp.where(occ, vel, 0.0)
     Cmat = jnp.where(occ, Cmat, 0.0)
     return BucketState(
-        pos=pos, vel=vel, C=Cmat, mass=state.mass, ids=state.ids, lost=state.lost
+        pos=pos,
+        vel=vel,
+        C=Cmat,
+        mass=state.mass,
+        ids=state.ids,
+        lost=state.lost,
+        cfl_clamped=state.cfl_clamped + jnp.sum(moved.astype(jnp.int32)),
     )
 
 
@@ -330,11 +348,17 @@ def _migrate_axis(state: BucketState, config: SimConfig, axis: int) -> BucketSta
         mass=new_mass,
         ids=new_ids,
         lost=lost,
+        cfl_clamped=state.cfl_clamped,
     )
 
 
 def migrate(state: BucketState, config: SimConfig) -> BucketState:
-    for a in range(config.dim):
+    # last axis first (3D: z, y, x) — the physics is order-independent (each
+    # phase fixes one axis; the per-cell particle multiset is identical for
+    # any order), but slot ASSIGNMENT within a cell depends on arrival order,
+    # and the Pallas kernels sweep z, y, x; matching the order keeps the
+    # engines bit-identical slot-for-slot, not just id-for-id
+    for a in range(config.dim - 1, -1, -1):
         state = _migrate_axis(state, config, a)
     return state
 
@@ -384,6 +408,7 @@ def from_simstate(state: SimState, config: SimConfig) -> BucketState:
         lost=jnp.asarray(
             slots.overflow, jnp.int32
         ),
+        cfl_clamped=jnp.asarray(0, jnp.int32),
     )
 
 

@@ -99,28 +99,31 @@ def _p2g1_kernel(
         gmass_ref[:] = jnp.zeros_like(gmass_ref)
         gmom_ref[:] = jnp.zeros_like(gmom_ref)
 
-    pos = pos_ref[:]
-    vel = vel_ref[:]
-    C = C_ref[:]
     mass = mass_ref[:]
-    occ = mass > 0
-    d = _plane_geometry(pos, i, z, dtype)
 
-    for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-        w, dist = _tap_w_dist(d, tap)
-        w = jnp.where(occ, w, 0.0)
-        mass_c = w * mass  # [kb, pc]
-        Cd = bspline.matvec(C, dist)
-        mom_c = mass_c * (vel + Cd)  # [3, kb, pc]
-        m_p = jnp.sum(mass_c, axis=0)  # [pc]
-        mom_p = jnp.sum(mom_c, axis=1)  # [3, pc]
-        p = i + dx
-        lo = h + oyz  # static column offset into the halo padding
+    @pl.when(jnp.max(mass) > 0)  # skip tap work for empty (plane, K-block)s
+    def _occupied():
+        pos = pos_ref[:]
+        vel = vel_ref[:]
+        C = C_ref[:]
+        occ = mass > 0
+        d = _plane_geometry(pos, i, z, dtype)
 
-        @pl.when((p >= 0) & (p < nx))
-        def _(p=p, m_p=m_p, mom_p=mom_p, lo=lo):
-            gmass_ref[p, lo : lo + pc] += m_p
-            gmom_ref[p, :, lo : lo + pc] += mom_p
+        for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
+            w, dist = _tap_w_dist(d, tap)
+            w = jnp.where(occ, w, 0.0)
+            mass_c = w * mass  # [kb, pc]
+            Cd = bspline.matvec(C, dist)
+            mom_c = mass_c * (vel + Cd)  # [3, kb, pc]
+            m_p = jnp.sum(mass_c, axis=0)  # [pc]
+            mom_p = jnp.sum(mom_c, axis=1)  # [3, pc]
+            p = i + dx
+            lo = h + oyz  # static column offset into the halo padding
+
+            @pl.when((p >= 0) & (p < nx))
+            def _(p=p, m_p=m_p, mom_p=mom_p, lo=lo):
+                gmass_ref[p, lo : lo + pc] += m_p
+                gmom_ref[p, :, lo : lo + pc] += mom_p
 
 
 # ------------------------------------------------ kernel B: density + P2G2
@@ -149,57 +152,60 @@ def _p2g2_kernel(
     def _():
         gmom_ref[:] = jnp.zeros_like(gmom_ref)
 
-    pos = pos_ref[:]
-    C = C_ref[:]
     mass = mass_ref[:]
-    occ = mass > 0
-    d = _plane_geometry(pos, i, z, dtype)
 
-    # density gather (p2g_2.glsl:66-90); gmass_in is pre-padded [nx, pc+2h]
-    density = jnp.zeros_like(mass)
-    for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-        w, _ = _tap_w_dist(d, tap)
-        p = jnp.clip(i + dx, 0, nx - 1)
-        lo = h + oyz
-        plane = gmass_in_ref[p, lo : lo + pc]  # [pc] at bucket + oyz
-        ok = ((i + dx) >= 0) & ((i + dx) < nx)
-        gm = jnp.where(ok, plane, 0.0)
-        density = density + w * gm[None, :]
+    @pl.when(jnp.max(mass) > 0)  # skip tap work for empty (plane, K-block)s
+    def _occupied():
+        pos = pos_ref[:]
+        C = C_ref[:]
+        occ = mass > 0
+        d = _plane_geometry(pos, i, z, dtype)
 
-    safe_density = jnp.where(occ, density, 1.0)
-    volume = jnp.where(occ, mass / safe_density, 0.0)
-    ratio = safe_density / rest_density
-    pressure = jnp.maximum(floor, stiffness * (ratio**power - 1.0))
-    coef = -4.0 * dt * volume
-    a_p = coef * (-pressure)
-    b_mu = coef * viscosity
+        # density gather (p2g_2.glsl:66-90); gmass_in is pre-padded [nx, pc+2h]
+        density = jnp.zeros_like(mass)
+        for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
+            w, _ = _tap_w_dist(d, tap)
+            p = jnp.clip(i + dx, 0, nx - 1)
+            lo = h + oyz
+            plane = gmass_in_ref[p, lo : lo + pc]  # [pc] at bucket + oyz
+            ok = ((i + dx) >= 0) & ((i + dx) < nx)
+            gm = jnp.where(ok, plane, 0.0)
+            density = density + w * gm[None, :]
 
-    for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-        w, dist = _tap_w_dist(d, tap)
-        w = jnp.where(occ, w, 0.0)
-        if legacy_strain:
-            # 2D serial variant strain (MLSMPM2DFluid.cs:276-281)
-            Ct = jnp.swapaxes(C, 0, 1)
-            S = C + Ct
-            S = S - jnp.stack(
-                [
-                    jnp.stack(
-                        [Ct[a, b] * (1.0 if a == b else 0.0) for b in range(3)]
-                    )
-                    for a in range(3)
-                ]
-            )
-            Sd = bspline.matvec(S, dist)
-        else:
-            Sd = bspline.matvec(C, dist) + bspline.matvec_t(C, dist)
-        mom_c = w * (a_p * dist + b_mu * Sd)  # [3, kb, pc]
-        mom_p = jnp.sum(mom_c, axis=1)  # [3, pc]
-        p = i + dx
-        lo = h + oyz
+        safe_density = jnp.where(occ, density, 1.0)
+        volume = jnp.where(occ, mass / safe_density, 0.0)
+        ratio = safe_density / rest_density
+        pressure = jnp.maximum(floor, stiffness * (ratio**power - 1.0))
+        coef = -4.0 * dt * volume
+        a_p = coef * (-pressure)
+        b_mu = coef * viscosity
 
-        @pl.when((p >= 0) & (p < nx))
-        def _(p=p, mom_p=mom_p, lo=lo):
-            gmom_ref[p, :, lo : lo + pc] += mom_p
+        for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
+            w, dist = _tap_w_dist(d, tap)
+            w = jnp.where(occ, w, 0.0)
+            if legacy_strain:
+                # 2D serial variant strain (MLSMPM2DFluid.cs:276-281)
+                Ct = jnp.swapaxes(C, 0, 1)
+                S = C + Ct
+                S = S - jnp.stack(
+                    [
+                        jnp.stack(
+                            [Ct[a, b] * (1.0 if a == b else 0.0) for b in range(3)]
+                        )
+                        for a in range(3)
+                    ]
+                )
+                Sd = bspline.matvec(S, dist)
+            else:
+                Sd = bspline.matvec(C, dist) + bspline.matvec_t(C, dist)
+            mom_c = w * (a_p * dist + b_mu * Sd)  # [3, kb, pc]
+            mom_p = jnp.sum(mom_c, axis=1)  # [3, pc]
+            p = i + dx
+            lo = h + oyz
+
+            @pl.when((p >= 0) & (p < nx))
+            def _(p=p, mom_p=mom_p, lo=lo):
+                gmom_ref[p, :, lo : lo + pc] += mom_p
 
 
 # --------------------------------------------------------- kernel D: G2P
@@ -408,6 +414,8 @@ def substep(
 
     # tail: advection, clamps, interactions, wall springs (XLA elementwise;
     # identical to ops/bucketed.g2p_bucketed's tail)
+    from ..bucketed import CFL_EPS
+
     occ = state.mass > 0
     pos = state.pos + vel * fp.dt
     res = np.asarray(config.grid_res, np.float32).reshape(-1, 1, 1)
@@ -419,11 +427,21 @@ def substep(
         + jnp.minimum((res - config.wall_max_offset) - x_n, 0.0)
     )
     center = cell_coords(config, pos.dtype) + 0.5
+    cell = center[:, None, :] - 0.5
+    pos_cfl = jnp.clip(pos, cell - 1.0, cell + 2.0 - CFL_EPS)
+    moved = occ & jnp.any(pos_cfl != pos, axis=0)
+    pos = pos_cfl
     pos = jnp.where(occ, pos, center[:, None, :])
     vel = jnp.where(occ, vel, 0.0)
     C = jnp.where(occ, C, 0.0)
     state = BucketState(
-        pos=pos, vel=vel, C=C, mass=state.mass, ids=state.ids, lost=state.lost
+        pos=pos,
+        vel=vel,
+        C=C,
+        mass=state.mass,
+        ids=state.ids,
+        lost=state.lost,
+        cfl_clamped=state.cfl_clamped + jnp.sum(moved.astype(jnp.int32)),
     )
     from .migrate_kernels import migrate_pallas
 

@@ -1,0 +1,567 @@
+"""Fused G2P + advection tail + 3-axis migration (kernel F).
+
+Round-1 profiling showed the substep is HBM-traffic-bound: the split pipeline
+(kernel D + XLA tail + 3 axis-split migration passes, migrate_kernels.py)
+streams the full particle state {pos, vel, C, mass, ids} through HBM once for
+G2P and three more times read+write for migration (plus two XLA pad copies)
+— ~1.8 KB per slot per substep. This kernel collapses all of it into ONE
+sweep over x-planes: the state is read once (pos/mass/ids — vel and C are
+rebuilt by G2P) and written once.
+
+Pipeline (grid = nx+1 sequential steps; plane t computed at step t, plane
+t-1 emitted at step t — a one-plane-lag software pipeline):
+
+  step t, compute phase (t < nx):
+    1. G2P for plane t: gather grid velocity from three single-plane views
+       (t-1, t, t+1 — each tap's plane offset is STATIC view selection),
+       rebuild APIC C (g2p.glsl:73-108).
+    2. tail: advect, global clamp, interactions, wall springs
+       (g2p.glsl:112-140), CFL bucket clamp (pos forced into the bucket's
+       ±1-cell range so B-spline weights stay in support; events counted).
+    3. z-axis then y-axis migration phases entirely in VMEM (same candidate
+       order & rank select as migrate_kernels.py — bit-identical results);
+       the zy-settled plane lands in a 3-slot VMEM ring buffer.
+  step t, output phase (t >= 1):
+    4. x-axis migration for plane j = t-1 from ring slots j-1, j, j+1;
+       the result is the ONLY HBM write of the whole G2P+migrate pipeline.
+
+Reference parity: the fused semantics equal bucketed.substep's
+g2p_bucketed tail + migrate (tested in tests/test_fused.py); the reference's
+corresponding passes are g2p.glsl:52-152 (gather/advect/interact/walls) with
+migration replacing its free particle order (atomics let particles live
+anywhere; here the bucket invariant floor(pos) == cell is restored each
+substep).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.params import FluidParams, SimConfig
+from ...core.state import Grid
+from .. import bspline
+from ..bucketed import CFL_EPS as _CFL_EPS
+from ..bucketed import BucketState
+from .bucket_kernels import _TAPS3, _halo, _plane_geometry, _tap_parts, _tap_w_dist
+from .migrate_kernels import (
+    _INT_SENTINEL,
+    _delta_axis,
+    _intra_occ_delta,
+    _rank_and_masks,
+    _shift_cols,
+)
+
+import os
+
+# Perf-attribution knobs (fresh-process experiments via scripts/quickbench.py;
+# production = all defaults). Read at trace time.
+_GATE = os.environ.get("MPM_FUSED_GATE", "1") != "0"
+_NOMIG = os.environ.get("MPM_FUSED_NOMIG", "0") == "1"   # physics-breaking
+_NOG2P = os.environ.get("MPM_FUSED_NOG2P", "0") == "1"   # physics-breaking
+
+
+def _mig_halo(z: int) -> int:
+    """Intra-plane migration halo: max column shift is the y stride (= z),
+    rounded to 64/side so padded widths stay 128-divisible."""
+    return ((z + 63) // 64) * 64
+
+
+# ------------------------------------------------------------------ kernel F
+
+
+def _gated_select(k, ranks, total, fields, write, zero_all: bool):
+    """Rank-select gated on the block-wide max occupancy: output slots
+    kk >= max(total) can hold no candidate anywhere in the block, so their
+    select work (the O(K_out x 3K) hot loop of migration) is replaced by a
+    zero-write. In a settled pool this skips roughly half of K; in sparse /
+    free-fall planes nearly all of it.
+
+    fields: list of (name, cand_blocks, is_int). When zero_all is False only
+    the mass rows are zeroed in the gated-off branch (enough for downstream
+    occupancy masking of scratch buffers); True zeroes every field (HBM
+    outputs must be fully defined — the XLA engine writes zeros there too).
+    Returns the overflow count."""
+
+    def trim(ci, kk, cand, rank):
+        # stay candidates (class 0, first in canonical order) have
+        # rank[j] <= j, so slot kk can only be filled by stay rows j >= kk —
+        # a static triangular trim of the inner reduction
+        if ci == 0 and kk > 0:
+            return cand[..., kk:, :], rank[kk:, :]
+        return cand, rank
+
+    def select_slot(kk):
+        for name, cands, is_int in fields:
+            if is_int:
+                acc = None
+                hit = None
+                for ci, (cand, rank) in enumerate(zip(cands, ranks)):
+                    cand, rank = trim(ci, kk, cand, rank)
+                    m = rank == kk
+                    s = jnp.sum(jnp.where(m, cand, 0), axis=-2)
+                    a = jnp.any(m, axis=-2)
+                    acc = s if acc is None else acc + s
+                    hit = a if hit is None else hit | a
+                write(name, kk, jnp.where(hit, acc, _INT_SENTINEL))
+            else:
+                acc = None
+                for ci, (cand, rank) in enumerate(zip(cands, ranks)):
+                    cand, rank = trim(ci, kk, cand, rank)
+                    s = jnp.sum(jnp.where(rank == kk, cand, 0), axis=-2)
+                    acc = s if acc is None else acc + s
+                write(name, kk, acc)
+
+    if not _GATE:  # ungated variant for perf attribution
+        for kk in range(k):
+            select_slot(kk)
+        return jnp.sum(jnp.maximum(total - k, 0))
+    tmax = jnp.max(total)
+    for kk in range(k):
+        @pl.when(kk < tmax)
+        def _(kk=kk):
+            select_slot(kk)
+
+        @pl.when(kk >= tmax)
+        def _(kk=kk):
+            for name, cands, is_int in fields:
+                if not zero_all and name != "mass":
+                    continue
+                shape = cands[0].shape[:-2] + cands[0].shape[-1:]
+                if is_int:
+                    write(name, kk, jnp.full(shape, _INT_SENTINEL, cands[0].dtype))
+                else:
+                    write(name, kk, jnp.zeros(shape, cands[0].dtype))
+    return jnp.sum(jnp.maximum(total - k, 0))
+
+
+def _intra_phase(src, dst_write, axis: int, z: int, hm: int, k: int, dtype,
+                 zero_all: bool = False):
+    """One intra-plane (z or y) migration phase on VMEM-resident values.
+
+    src: dict of full-width padded values {pos [3,K,pcp], vel, C9 [9,K,pcp],
+    mass [K,pcp], ids}. dst_write(name, kk, v) writes output slot kk.
+    Returns the overflow count (traced scalar). Candidate order and rank
+    select are identical to migrate_kernels._intra_core_kernel."""
+    stride = z if axis == 1 else 1
+    occ_all, delta_all = _intra_occ_delta(src["pos"], src["mass"], axis, z, hm, dtype)
+
+    occ_c, occ_l, occ_r = (_shift_cols(occ_all, o, hm) for o in (0, -stride, stride))
+    d_c, d_l, d_r = (_shift_cols(delta_all, o, hm) for o in (0, -stride, stride))
+    _, ranks, total = _rank_and_masks(d_c, d_l, d_r, occ_c, occ_l, occ_r)
+
+    def cands(x):
+        return (_shift_cols(x, 0, hm), _shift_cols(x, -stride, hm),
+                _shift_cols(x, stride, hm))
+
+    fields = [
+        ("pos", cands(src["pos"]), False),
+        ("vel", cands(src["vel"]), False),
+        ("C", cands(src["C"]), False),
+        ("mass", cands(src["mass"]), False),
+        ("ids", cands(src["ids"]), True),
+    ]
+    return _gated_select(k, ranks, total, fields, dst_write, zero_all)
+
+
+def _fused_kernel(
+    # inputs
+    pos_ref, mass_ref, ids_ref, gv_m_ref, gv_c_ref, gv_p_ref, scal_ref,
+    # outputs
+    pos_o, vel_o, C_o, mass_o, ids_o, lost_ref, clamp_ref,
+    # scratch
+    tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
+    tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
+    r_pos, r_vel, r_C, r_mass, r_ids,
+    *, config: SimConfig, n_inter: int,
+):
+    t = pl.program_id(0)
+    nx = pl.num_programs(0) - 1
+    z = config.grid_res[2]
+    pc = config.grid_res[1] * z
+    h = _halo(config)          # grid-velocity view padding (z + 1)
+    hm = _mig_halo(z)          # migration temp padding
+    k = mass_ref.shape[0]
+    dtype = pos_ref.dtype
+    res = [float(r) for r in config.grid_res]
+
+    @pl.when(t == 0)
+    def _init():
+        lost_ref[0, 0] = 0
+        clamp_ref[0, 0] = 0
+        # halo columns of the migration temps and the "plane -1" ring slot
+        # are consumed (occupancy-masked) before ever being written — zero
+        # them so uninitialized VMEM can't leak garbage into the selects
+        for ref in (tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
+                    tB_pos, tB_vel, tB_C, tB_mass, tB_ids):
+            ref[:] = jnp.zeros_like(ref)
+        r_pos[2] = jnp.zeros_like(r_pos[2])
+        r_vel[2] = jnp.zeros_like(r_vel[2])
+        r_C[2] = jnp.zeros_like(r_C[2])
+        r_mass[2] = jnp.zeros_like(r_mass[2])
+        r_ids[2] = jnp.zeros_like(r_ids[2])
+
+    occ_any = jnp.max(mass_ref[:]) > 0
+
+    @pl.when((t < nx) & jnp.logical_not(occ_any))
+    def _skip_empty_plane():
+        # empty plane: its ring slot only needs dead occupancy; the stale
+        # pos/vel/C rows are never selected (rank stays -1 for mass == 0)
+        rt = jax.lax.rem(t, 3)
+        r_mass[rt] = jnp.zeros_like(r_mass[rt])
+
+    @pl.when((t < nx) & occ_any)
+    def _compute():
+        # ---- 1. G2P for plane t (g2p.glsl:52-108) ----
+        pos = pos_ref[:]
+        mass = mass_ref[:]
+        occ = mass > 0
+        d = _plane_geometry(pos, t, z, dtype)
+
+        vel = jnp.zeros((3, k, pc), dtype)
+        B = jnp.zeros((9, k, pc), dtype)
+        views = {-1: gv_m_ref, 0: gv_c_ref, 1: gv_p_ref}
+        for tap, (dx, oyz) in ([] if _NOG2P else list(zip(_TAPS3, _tap_parts(config)))):
+            w, dist = _tap_w_dist(d, tap)
+            lo = h + oyz
+            plane = views[dx][0, :, lo : lo + pc]  # [3, pc]
+            ok = ((t + dx) >= 0) & ((t + dx) < nx)
+            gv = jnp.where(ok, plane, 0.0)
+            wv = w[None] * gv[:, None, :]  # [3, kb, pc]
+            vel = vel + wv
+            B = B + jnp.stack([wv[a] * dist[b] for a in range(3) for b in range(3)])
+        occ3 = occ[None]
+        vel = jnp.where(occ3, vel, 0.0)
+        Cmat = jnp.where(occ3, 4.0 * B, 0.0)
+
+        # ---- 2. tail (identical to ops/bucketed.g2p_bucketed's tail) ----
+        dt = scal_ref[0]
+        pos = pos + vel * dt
+        pos = jnp.stack([
+            jnp.clip(pos[a], config.clamp_lo, res[a] - config.clamp_hi_offset)
+            for a in range(3)
+        ])
+        for j in range(n_inter):
+            base = 1 + 7 * j
+            cx, cy, cz = scal_ref[base], scal_ref[base + 1], scal_ref[base + 2]
+            radius = scal_ref[base + 3]
+            strength = scal_ref[base + 4]
+            inv_falloff = scal_ref[base + 5]
+            active = scal_ref[base + 6]
+            dvec = jnp.stack([pos[0] - cx, pos[1] - cy, pos[2] - cz])
+            r2 = dvec[0] * dvec[0] + dvec[1] * dvec[1] + dvec[2] * dvec[2]
+            inside = (r2 < radius * radius) & (active > 0)
+            norm = jnp.sqrt(r2)
+            safe_norm = jnp.where(norm > 0, norm, 1.0)
+            dirn = dvec / safe_norm
+            falloff = 1.0 + inv_falloff * (radius / safe_norm - 1.0)
+            force = dirn * (strength * falloff)
+            okf = inside & (norm > 0) & jnp.all(jnp.isfinite(force), axis=0)
+            vel = vel + jnp.where(okf, force, 0.0)
+        x_n = pos + vel
+        vel = vel + jnp.stack([
+            config.wall_stiffness * (
+                jnp.maximum(config.wall_min - x_n[a], 0.0)
+                + jnp.minimum((res[a] - config.wall_max_offset) - x_n[a], 0.0)
+            )
+            for a in range(3)
+        ])
+
+        # CFL bucket clamp: keep floor(pos) within one cell of the bucket so
+        # next-substep B-spline weights stay in support and migration's ±1
+        # move suffices (ADVICE r1: unclamped pos broke the invariant)
+        intra = jax.lax.broadcasted_iota(jnp.int32, (k, pc), 1)
+        cy_f = (intra // z).astype(dtype)
+        cz_f = (intra % z).astype(dtype)
+        cx_f = jnp.zeros_like(cy_f) + t.astype(dtype)
+        cell = jnp.stack([cx_f, cy_f, cz_f])
+        pos_cfl = jnp.clip(pos, cell - 1.0, cell + 2.0 - _CFL_EPS)
+        moved = occ & jnp.any(pos_cfl != pos, axis=0)
+        clamp_ref[0, 0] += jnp.sum(moved.astype(jnp.int32))
+        pos = pos_cfl
+
+        center = cell + 0.5
+        pos = jnp.where(occ3, pos, center)
+        vel = jnp.where(occ3, vel, 0.0)
+        Cmat = jnp.where(occ3, Cmat, 0.0)
+
+        # ---- 3. zy migration in VMEM ----
+        if _NOMIG:  # perf attribution: skip migration, ring passthrough
+            rt0 = jax.lax.rem(t, 3)
+            r_pos[rt0] = pos
+            r_vel[rt0] = vel
+            r_C[rt0] = Cmat
+            r_mass[rt0] = mass
+            r_ids[rt0] = ids_ref[:]
+            return
+
+        tA_pos[:, :, hm : hm + pc] = pos
+        tA_vel[:, :, hm : hm + pc] = vel
+        tA_C[:, :, hm : hm + pc] = Cmat
+        tA_mass[:, hm : hm + pc] = mass
+        tA_ids[:, hm : hm + pc] = ids_ref[:]
+
+        srcA = {"pos": tA_pos[:], "vel": tA_vel[:], "C": tA_C[:],
+                "mass": tA_mass[:], "ids": tA_ids[:]}
+
+        def write_B(name, kk, v):
+            ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
+                   "mass": tB_mass, "ids": tB_ids}[name]
+            if name in ("mass", "ids"):
+                ref[kk, hm : hm + pc] = v
+            else:
+                ref[:, kk, hm : hm + pc] = v
+
+        lost_z = _intra_phase(srcA, write_B, 2, z, hm, k, dtype)
+
+        rt = jax.lax.rem(t, 3)
+
+        def write_ring(name, kk, v):
+            ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
+                   "mass": r_mass, "ids": r_ids}[name]
+            if name in ("mass", "ids"):
+                ref[rt, kk, :] = v
+            else:
+                ref[rt, :, kk, :] = v
+
+        srcB = {"pos": tB_pos[:], "vel": tB_vel[:], "C": tB_C[:],
+                "mass": tB_mass[:], "ids": tB_ids[:]}
+        lost_y = _intra_phase(srcB, write_ring, 1, z, hm, k, dtype)
+        lost_ref[0, 0] = lost_ref[0, 0] + lost_z + lost_y
+
+    @pl.when(t >= 1)
+    def _output():
+        # ---- 4. x migration for plane j = t-1 from the ring ----
+        j = t - 1
+        if _NOMIG:  # perf attribution: copy plane j through unmigrated
+            rcc = jax.lax.rem(t + 2, 3)
+            pos_o[:] = r_pos[rcc]
+            vel_o[:] = r_vel[rcc]
+            C_o[:] = r_C[rcc]
+            mass_o[:] = r_mass[rcc]
+            ids_o[:] = r_ids[rcc]
+            return
+        rl = jax.lax.rem(t + 1, 3)  # (t-2) % 3: plane j-1
+        rc = jax.lax.rem(t + 2, 3)  # (t-1) % 3: plane j
+        rr = jax.lax.rem(t, 3)      # plane j+1
+
+        def occ_delta(pos_blk, mass_blk, plane):
+            occ = mass_blk > 0
+            x_valid = (plane >= 0) & (plane < nx)
+            occ = occ & x_valid
+            delta = _delta_axis(pos_blk[0], plane.astype(dtype), occ)
+            return occ, delta
+
+        pos_c, pos_l, pos_r = r_pos[rc], r_pos[rl], r_pos[rr]
+        occ_c, d_c = occ_delta(pos_c, r_mass[rc], j)
+        occ_l, d_l = occ_delta(pos_l, r_mass[rl], j - 1)
+        occ_r, d_r = occ_delta(pos_r, r_mass[rr], j + 1)
+        _, ranks, total = _rank_and_masks(d_c, d_l, d_r, occ_c, occ_l, occ_r)
+
+        def write_out(name, kk, v):
+            ref = {"pos": pos_o, "vel": vel_o, "C": C_o,
+                   "mass": mass_o, "ids": ids_o}[name]
+            if name in ("mass", "ids"):
+                ref[kk, :] = v
+            else:
+                ref[:, kk, :] = v
+
+        fields = [
+            ("pos", (pos_c, pos_l, pos_r), False),
+            ("vel", (r_vel[rc], r_vel[rl], r_vel[rr]), False),
+            ("C", (r_C[rc], r_C[rl], r_C[rr]), False),
+            ("mass", (r_mass[rc], r_mass[rl], r_mass[rr]), False),
+            ("ids", (r_ids[rc], r_ids[rl], r_ids[rr]), True),
+        ]
+        lost_x = _gated_select(k, ranks, total, fields, write_out, zero_all=True)
+        lost_ref[0, 0] = lost_ref[0, 0] + lost_x
+
+
+# ----------------------------------------------------------------- dispatch
+
+
+def _vmem_bytes(config: SimConfig, k: int) -> int:
+    z = config.grid_res[2]
+    pc = config.grid_res[1] * z
+    pcp_m = pc + 2 * _mig_halo(z)
+    pcp_g = pc + 2 * _halo(config)
+    temps = 2 * 17 * k * pcp_m * 4
+    ring = 3 * 17 * k * pc * 4
+    blocks = 2 * (5 + 17) * k * pc * 4  # double-buffered in+out plane blocks
+    gvel = 2 * 3 * 3 * pcp_g * 4
+    return temps + ring + blocks + gvel
+
+
+def fused_supported(config: SimConfig, k: int | None = None) -> bool:
+    """3D float configs whose plane working set fits VMEM."""
+    if config.dim != 3 or config.fixed_point:
+        return False
+    pc = config.grid_res[1] * config.grid_res[2]
+    if pc % 128 != 0:
+        return False
+    k = k if k is not None else config.bin_capacity
+    return _vmem_bytes(config, k) <= 110 * 2**20
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_inter", "interpret"))
+def _g2p_migrate_fused(
+    state: BucketState,
+    gvel_pad: jax.Array,
+    scals: jax.Array,
+    config: SimConfig,
+    n_inter: int,
+    interpret: bool = False,
+):
+    dim, k, c = state.pos.shape
+    nx = config.grid_res[0]
+    z = config.grid_res[2]
+    pc = c // nx
+    h = _halo(config)
+    hm = _mig_halo(z)
+    dtype = state.pos.dtype
+
+    def in_plane(lead):
+        ndim = len(lead) + 2
+
+        def index(t):
+            idx = [0] * ndim
+            idx[-1] = jnp.clip(t, 0, nx - 1)
+            return tuple(idx)
+
+        return pl.BlockSpec((*lead, k, pc), index, memory_space=pltpu.VMEM)
+
+    def gv_view(dx):
+        return pl.BlockSpec(
+            (1, 3, pc + 2 * h),
+            lambda t, dx=dx: (jnp.clip(t + dx, 0, nx - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def out_plane(lead):
+        ndim = len(lead) + 2
+
+        def index(t):
+            idx = [0] * ndim
+            idx[-1] = jnp.maximum(t - 1, 0)
+            return tuple(idx)
+
+        return pl.BlockSpec((*lead, k, pc), index, memory_space=pltpu.VMEM)
+
+    smem_counter = pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
+
+    pos, vel, C9, mass, ids, lost, clamped = pl.pallas_call(
+        functools.partial(_fused_kernel, config=config, n_inter=n_inter),
+        grid=(nx + 1,),
+        in_specs=[
+            in_plane((3,)),
+            in_plane(()),
+            in_plane(()),
+            gv_view(-1),
+            gv_view(0),
+            gv_view(1),
+            pl.BlockSpec((1 + 7 * max(n_inter, 1),), lambda t: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            out_plane((3,)),
+            out_plane((3,)),
+            out_plane((9,)),
+            out_plane(()),
+            out_plane(()),
+            smem_counter,
+            smem_counter,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, k, c), dtype),
+            jax.ShapeDtypeStruct((3, k, c), dtype),
+            jax.ShapeDtypeStruct((9, k, c), dtype),
+            jax.ShapeDtypeStruct((k, c), dtype),
+            jax.ShapeDtypeStruct((k, c), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+            pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+            pltpu.VMEM((9, k, pc + 2 * hm), dtype),
+            pltpu.VMEM((k, pc + 2 * hm), dtype),
+            pltpu.VMEM((k, pc + 2 * hm), jnp.int32),
+            pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+            pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+            pltpu.VMEM((9, k, pc + 2 * hm), dtype),
+            pltpu.VMEM((k, pc + 2 * hm), dtype),
+            pltpu.VMEM((k, pc + 2 * hm), jnp.int32),
+            pltpu.VMEM((3, 3, k, pc), dtype),
+            pltpu.VMEM((3, 3, k, pc), dtype),
+            pltpu.VMEM((3, 9, k, pc), dtype),
+            pltpu.VMEM((3, k, pc), dtype),
+            pltpu.VMEM((3, k, pc), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+    )(state.pos, state.mass, state.ids, gvel_pad, gvel_pad, gvel_pad, scals)
+
+    return BucketState(
+        pos=pos,
+        vel=vel,
+        C=C9.reshape(3, 3, k, c),
+        mass=mass,
+        ids=ids,
+        lost=state.lost + lost[0, 0],
+        cfl_clamped=state.cfl_clamped + clamped[0, 0],
+    )
+
+
+def _pack_scals(fp: FluidParams, interactions: Sequence, dtype) -> jax.Array:
+    vals = [jnp.asarray(fp.dt, dtype)]
+    for it in interactions:
+        vals += [
+            jnp.asarray(it.center[0], dtype),
+            jnp.asarray(it.center[1], dtype),
+            jnp.asarray(it.center[2], dtype),
+            jnp.asarray(it.radius, dtype),
+            jnp.asarray(it.strength, dtype),
+            jnp.asarray(it.inv_falloff, dtype),
+            jnp.asarray(it.active, dtype),
+        ]
+    if not interactions:  # pad so the SMEM block shape is never length-1
+        vals += [jnp.zeros((), dtype)] * 7
+    return jnp.stack(vals)
+
+
+def substep_fused(
+    state: BucketState,
+    config: SimConfig,
+    fp: FluidParams,
+    interactions: Sequence = (),
+    interpret: bool = False,
+) -> BucketState:
+    """Full substep: P2G kernels (A/B) + XLA grid update + fused kernel F."""
+    if not fused_supported(config, state.pos.shape[1]):
+        from .bucket_kernels import substep as substep_planes
+
+        return substep_planes(state, config, fp, interactions, interpret=interpret)
+
+    from .bucket_kernels import p2g_pallas
+    from ..grid import update_grid
+
+    grid = p2g_pallas(state, config, fp, interpret=interpret)
+    grid = update_grid(grid, config, fp)
+
+    nx = config.grid_res[0]
+    pc = config.num_cells // nx
+    h = _halo(config)
+    gvel = jnp.swapaxes(grid.mom.reshape(3, nx, pc), 0, 1)  # [nx, 3, pc]
+    gvel = jnp.pad(gvel, ((0, 0), (0, 0), (h, h)))
+    scals = _pack_scals(fp, interactions, state.pos.dtype)
+    return _g2p_migrate_fused(
+        state, gvel, scals, config, len(interactions), interpret=interpret
+    )

@@ -67,12 +67,13 @@ def _rank_and_masks(delta_c, delta_l, delta_r, occ_c, occ_l, occ_r):
 def _select_f_into(oref, cand_blocks, rank_blocks, k, slot_writer):
     """oref[.., kk, :] = candidate with rank == kk, written per slot to keep
     Mosaic's stack small (a stacked [K, ...] result keeps all K unrolled
-    select chains live at once and blows scoped VMEM)."""
+    select chains live at once and blows scoped VMEM). The select is
+    where-based, NOT mask-multiply: candidates can include uninitialized
+    halo/scratch lanes whose garbage bits may be NaN, and NaN * 0 = NaN."""
     for kk in range(k):
         acc = None
         for cand, rank in zip(cand_blocks, rank_blocks):
-            m = (rank == kk).astype(cand.dtype)
-            s = jnp.sum(cand * m, axis=-2)
+            s = jnp.sum(jnp.where(rank == kk, cand, 0), axis=-2)
             acc = s if acc is None else acc + s
         slot_writer(oref, kk, acc)
 
@@ -391,6 +392,7 @@ def migrate_intra_pallas(
         mass=mass,
         ids=ids,
         lost=state.lost + lost[0, 0],
+        cfl_clamped=state.cfl_clamped,
     )
 
 
@@ -499,6 +501,7 @@ def migrate_x_pallas(
         mass=mass,
         ids=ids,
         lost=state.lost + lost[0, 0],
+        cfl_clamped=state.cfl_clamped,
     )
 
 

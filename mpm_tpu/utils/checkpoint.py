@@ -50,9 +50,15 @@ def load(path: str):
     if meta["state_class"] == "SimState":
         template = SimState(*([None] * 5))
     else:
+        import dataclasses as _dc
+
         from ..ops.bucketed import BucketState
 
-        template = BucketState(*([None] * 6))
+        n_fields = len(_dc.fields(BucketState))
+        # older checkpoints predate the cfl_clamped counter — pad with zeros
+        while len(leaves) < n_fields:
+            leaves.append(jnp.asarray(0, jnp.int32))
+        template = BucketState(*([None] * n_fields))
     treedef = jax.tree_util.tree_structure(
         template, is_leaf=lambda x: x is None
     )

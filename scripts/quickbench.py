@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Fresh-process substep timing at the bench config — the ONLY trustworthy
+measurement on this platform (long-lived processes with many live buffers
+degrade effective HBM bandwidth several-fold; separate per-phase jit calls
+add ~7 ms tunnel dispatch each). Run one configuration per process.
+
+Usage: python scripts/quickbench.py [n_particles] [K]
+Env: MPM_FUSED_GATE=0, MPM_FUSED_NOMIG=1, MPM_FUSED_NOG2P=1 select kernel
+variants (perf attribution experiments in ops/pallas/fused.py).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+
+from mpm_tpu import make_step
+from mpm_tpu.models.scenes import benchmark_scene
+from mpm_tpu.ops import bucketed
+from mpm_tpu.utils.timing import fence
+
+
+def main():
+    n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    scene = benchmark_scene(n_target, bin_capacity=k)
+    config, fluid = scene.config, scene.fluid
+    n = scene.state.num_particles
+    flags = {f: os.environ.get(f) for f in
+             ("MPM_FUSED_GATE", "MPM_FUSED_NOMIG", "MPM_FUSED_NOG2P",
+              "MPM_PALLAS_OLD", "MPM_DT0")}
+    if os.environ.get("MPM_DT0", "0") == "1":  # static fluid: isolates the
+        fluid = fluid.replace(dt=0.0)          # no-churn select cost
+    print(f"# {n} particles, grid {config.grid_res}, K={k}, flags {flags}")
+    state = jax.jit(lambda s: bucketed.from_simstate(s, config))(
+        jax.device_put(scene.state))
+    step = make_step(config, mode="pallas", substeps=10)
+    t0 = time.perf_counter()
+    state = step(state, fluid, ())
+    fence(state.pos)
+    print(f"# compile+chunk: {time.perf_counter()-t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(4):
+        state = step(state, fluid, ())
+    fence(state.pos)
+    print(f"# settle 40: {time.perf_counter()-t0:.1f}s "
+          f"lost={int(np.asarray(state.lost))}")
+    t0 = time.perf_counter()
+    for _ in range(10):
+        state = step(state, fluid, ())
+    host = np.asarray(state.pos)
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(host))
+    print(f"RESULT {dt*10:.1f} ms/substep  {100*n/dt/1e6:.1f} M ps/s  "
+          f"lost={int(np.asarray(state.lost))}")
+
+
+if __name__ == "__main__":
+    main()
