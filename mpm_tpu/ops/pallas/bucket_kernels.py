@@ -281,9 +281,10 @@ def _fixed_spec2(shape, memory_space=pltpu.VMEM):
     return pl.BlockSpec(shape, lambda i, j: (0,) * ndim, memory_space=memory_space)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+@functools.partial(jax.jit, static_argnames=("config", "skip_p2g2", "interpret"))
 def p2g_pallas(
-    state: BucketState, config: SimConfig, fp: FluidParams, interpret: bool = False
+    state: BucketState, config: SimConfig, fp: FluidParams,
+    skip_p2g2: bool = False, interpret: bool = False
 ) -> Grid:
     dim, k, c = state.pos.shape
     nx = config.grid_res[0]
@@ -315,6 +316,11 @@ def p2g_pallas(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
     )(state.pos, state.vel, state.C, state.mass)
+
+    if skip_p2g2:  # perf attribution: mass/APIC momentum only, no EOS force
+        gmass = gmass_p[:, h : h + pc].reshape(c)
+        gmom = jnp.swapaxes(gmom_p[:, :, h : h + pc], 0, 1).reshape(3, c)
+        return Grid(mom=gmom, mass=gmass)
 
     scals = jnp.stack(
         [

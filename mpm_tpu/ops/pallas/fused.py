@@ -65,6 +65,8 @@ import os
 _GATE = os.environ.get("MPM_FUSED_GATE", "1") != "0"
 _NOMIG = os.environ.get("MPM_FUSED_NOMIG", "0") == "1"   # physics-breaking
 _NOG2P = os.environ.get("MPM_FUSED_NOG2P", "0") == "1"   # physics-breaking
+_NOP2G1 = os.environ.get("MPM_FUSED_NOP2G1", "0") == "1"  # physics-breaking
+_NOP2G2 = os.environ.get("MPM_FUSED_NOP2G2", "0") == "1"  # physics-breaking
 
 
 def _mig_halo(z: int) -> int:
@@ -142,19 +144,23 @@ def _gated_select(k, ranks, total, fields, write, zero_all: bool):
 
 
 def _intra_phase(src, dst_write, axis: int, z: int, hm: int, k: int, dtype,
-                 zero_all: bool = False):
+                 add_lost, zero_all: bool = False, bulk_write=None):
     """One intra-plane (z or y) migration phase on VMEM-resident values.
 
     src: dict of full-width padded values {pos [3,K,pcp], vel, C9 [9,K,pcp],
-    mass [K,pcp], ids}. dst_write(name, kk, v) writes output slot kk.
-    Returns the overflow count (traced scalar). Candidate order and rank
-    select are identical to migrate_kernels._intra_core_kernel."""
+    mass [K,pcp], ids}. dst_write(name, kk, v) writes output slot kk;
+    add_lost(n) accumulates the overflow count (called inside the select
+    branch). Candidate order and rank select are identical to
+    migrate_kernels._intra_core_kernel.
+
+    Zero-mover fast path: when no particle in the (padded) plane crosses a
+    cell boundary along this axis, the select is the identity (buckets stay
+    prefix-compact between migrations, so rank[j] == j for every stayer) —
+    `bulk_write(name, center_view)` copies the plane through in one shot
+    instead of running the O(K_out x 3K) select. Overflow is impossible on
+    that path (occupancies unchanged, already <= K)."""
     stride = z if axis == 1 else 1
     occ_all, delta_all = _intra_occ_delta(src["pos"], src["mass"], axis, z, hm, dtype)
-
-    occ_c, occ_l, occ_r = (_shift_cols(occ_all, o, hm) for o in (0, -stride, stride))
-    d_c, d_l, d_r = (_shift_cols(delta_all, o, hm) for o in (0, -stride, stride))
-    _, ranks, total = _rank_and_masks(d_c, d_l, d_r, occ_c, occ_l, occ_r)
 
     def cands(x):
         return (_shift_cols(x, 0, hm), _shift_cols(x, -stride, hm),
@@ -167,7 +173,29 @@ def _intra_phase(src, dst_write, axis: int, z: int, hm: int, k: int, dtype,
         ("mass", cands(src["mass"]), False),
         ("ids", cands(src["ids"]), True),
     ]
-    return _gated_select(k, ranks, total, fields, dst_write, zero_all)
+
+    def run_select():
+        occ_c, occ_l, occ_r = (
+            _shift_cols(occ_all, o, hm) for o in (0, -stride, stride)
+        )
+        d_c, d_l, d_r = (_shift_cols(delta_all, o, hm) for o in (0, -stride, stride))
+        _, ranks, total = _rank_and_masks(d_c, d_l, d_r, occ_c, occ_l, occ_r)
+        add_lost(_gated_select(k, ranks, total, fields, dst_write, zero_all))
+
+    if bulk_write is None or not _GATE:
+        run_select()
+        return
+
+    any_mover = jnp.any(delta_all != 0.0)
+
+    @pl.when(jnp.logical_not(any_mover))
+    def _copy_through():
+        for name, cands_v, _ in fields:
+            bulk_write(name, cands_v[0])
+
+    @pl.when(any_mover)
+    def _full_select():
+        run_select()
 
 
 def _fused_kernel(
@@ -318,7 +346,19 @@ def _fused_kernel(
             else:
                 ref[:, kk, hm : hm + pc] = v
 
-        lost_z = _intra_phase(srcA, write_B, 2, z, hm, k, dtype)
+        def bulk_B(name, v):
+            ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
+                   "mass": tB_mass, "ids": tB_ids}[name]
+            if name in ("mass", "ids"):
+                ref[:, hm : hm + pc] = v
+            else:
+                ref[:, :, hm : hm + pc] = v
+
+        def add_lost(v):
+            lost_ref[0, 0] = lost_ref[0, 0] + v
+
+        _intra_phase(srcA, write_B, 2, z, hm, k, dtype, add_lost,
+                     bulk_write=bulk_B)
 
         rt = jax.lax.rem(t, 3)
 
@@ -330,10 +370,15 @@ def _fused_kernel(
             else:
                 ref[rt, :, kk, :] = v
 
+        def bulk_ring(name, v):
+            ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
+                   "mass": r_mass, "ids": r_ids}[name]
+            ref[rt] = v
+
         srcB = {"pos": tB_pos[:], "vel": tB_vel[:], "C": tB_C[:],
                 "mass": tB_mass[:], "ids": tB_ids[:]}
-        lost_y = _intra_phase(srcB, write_ring, 1, z, hm, k, dtype)
-        lost_ref[0, 0] = lost_ref[0, 0] + lost_z + lost_y
+        _intra_phase(srcB, write_ring, 1, z, hm, k, dtype, add_lost,
+                     bulk_write=bulk_ring)
 
     @pl.when(t >= 1)
     def _output():
@@ -362,7 +407,6 @@ def _fused_kernel(
         occ_c, d_c = occ_delta(pos_c, r_mass[rc], j)
         occ_l, d_l = occ_delta(pos_l, r_mass[rl], j - 1)
         occ_r, d_r = occ_delta(pos_r, r_mass[rr], j + 1)
-        _, ranks, total = _rank_and_masks(d_c, d_l, d_r, occ_c, occ_l, occ_r)
 
         def write_out(name, kk, v):
             ref = {"pos": pos_o, "vel": vel_o, "C": C_o,
@@ -379,8 +423,35 @@ def _fused_kernel(
             ("mass", (r_mass[rc], r_mass[rl], r_mass[rr]), False),
             ("ids", (r_ids[rc], r_ids[rl], r_ids[rr]), True),
         ]
-        lost_x = _gated_select(k, ranks, total, fields, write_out, zero_all=True)
-        lost_ref[0, 0] = lost_ref[0, 0] + lost_x
+
+        # zero-mover fast path: no particle crosses an x boundary in the
+        # three ring planes -> plane j passes through unchanged (see
+        # _intra_phase for why identity is exact)
+        any_mover = (
+            jnp.any(d_c != 0.0) | jnp.any(d_l != 0.0) | jnp.any(d_r != 0.0)
+        ) | jnp.logical_not(_GATE)
+
+        @pl.when(jnp.logical_not(any_mover))
+        def _copy_through():
+            # dead slots in the ring hold stale scratch (the zy selects only
+            # zero the mass rows); the HBM outputs must be fully defined and
+            # match the select path's zeros/sentinel
+            occk = occ_c[None]
+            pos_o[:] = jnp.where(occk, pos_c, 0.0)
+            vel_o[:] = jnp.where(occk, r_vel[rc], 0.0)
+            C_o[:] = jnp.where(occk, r_C[rc], 0.0)
+            mass_o[:] = r_mass[rc]
+            ids_o[:] = jnp.where(occ_c, r_ids[rc], _INT_SENTINEL)
+
+        @pl.when(any_mover)
+        def _full_select():
+            _, ranks, total = _rank_and_masks(
+                d_c, d_l, d_r, occ_c, occ_l, occ_r
+            )
+            lost_x = _gated_select(
+                k, ranks, total, fields, write_out, zero_all=True
+            )
+            lost_ref[0, 0] = lost_ref[0, 0] + lost_x
 
 
 # ----------------------------------------------------------------- dispatch
@@ -553,7 +624,14 @@ def substep_fused(
     from .bucket_kernels import p2g_pallas
     from ..grid import update_grid
 
-    grid = p2g_pallas(state, config, fp, interpret=interpret)
+    if _NOP2G1:  # perf attribution: zero grid, skip kernels A+B entirely
+        grid = Grid(
+            mom=jnp.zeros((3, config.num_cells), state.pos.dtype),
+            mass=jnp.zeros((config.num_cells,), state.pos.dtype),
+        )
+    else:
+        grid = p2g_pallas(state, config, fp, skip_p2g2=_NOP2G2,
+                          interpret=interpret)
     grid = update_grid(grid, config, fp)
 
     nx = config.grid_res[0]

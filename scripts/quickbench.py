@@ -34,6 +34,7 @@ def main():
     n = scene.state.num_particles
     flags = {f: os.environ.get(f) for f in
              ("MPM_FUSED_GATE", "MPM_FUSED_NOMIG", "MPM_FUSED_NOG2P",
+              "MPM_FUSED_NOP2G1", "MPM_FUSED_NOP2G2",
               "MPM_PALLAS_OLD", "MPM_DT0")}
     if os.environ.get("MPM_DT0", "0") == "1":  # static fluid: isolates the
         fluid = fluid.replace(dt=0.0)          # no-churn select cost
