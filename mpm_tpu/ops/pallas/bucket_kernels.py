@@ -448,6 +448,7 @@ def substep(
         ids=state.ids,
         lost=state.lost,
         cfl_clamped=state.cfl_clamped + jnp.sum(moved.astype(jnp.int32)),
+        deferred=state.deferred,
     )
     from .migrate_kernels import migrate_pallas
 

@@ -67,12 +67,65 @@ _NOMIG = os.environ.get("MPM_FUSED_NOMIG", "0") == "1"   # physics-breaking
 _NOG2P = os.environ.get("MPM_FUSED_NOG2P", "0") == "1"   # physics-breaking
 _NOP2G1 = os.environ.get("MPM_FUSED_NOP2G1", "0") == "1"  # physics-breaking
 _NOP2G2 = os.environ.get("MPM_FUSED_NOP2G2", "0") == "1"  # physics-breaking
+_NO_KP = os.environ.get("MPM_NO_KP", "0") == "1"  # use split A/B + XLA glue
 
 
 def _mig_halo(z: int) -> int:
-    """Intra-plane migration halo: max column shift is the y stride (= z),
+    """Intra-plane migration halo: the overflow-rejection shift reaches two
+    y strides (= 2z, the from-left count of the destination's neighbor),
     rounded to 64/side so padded widths stay 128-divisible."""
-    return ((z + 63) // 64) * 64
+    return ((2 * z + 63) // 64) * 64
+
+
+def _running_rank(m):
+    """Rank of each True row within its column (slot order) and the column
+    totals, via an unrolled running sum (jnp.cumsum is not lowerable).
+    m: [K, W] bool -> (rank [K, W] int32 with -1 for False, count [W])."""
+    acc = jnp.zeros(m.shape[-1:], jnp.int32)
+    rows = []
+    for j in range(m.shape[0]):
+        acc = acc + m[j].astype(jnp.int32)
+        rows.append(acc)
+    r = jnp.stack(rows) - 1
+    return jnp.where(m, r, -1), acc
+
+
+def _reject_intra(refs, occ_all, delta_all, axis: int, z: int, hm: int,
+                  k: int, pc: int, dtype):
+    """Overflow rejection for one intra-plane phase, in place: a mover whose
+    destination bucket cannot take it (conservative test: the destination's
+    PRE-phase occupancy plus the mover's index among the destination's
+    incoming candidates reaches K) is clamped back into its source cell —
+    the next _intra_occ_delta re-derives delta == 0 for it, so it competes
+    as a stayer. Since stayers + rejected-own <= pre-phase occupancy <= K
+    and each accepted incoming lands at a final rank below its test value,
+    no bucket exceeds K and nothing is dropped (the reference also clamps
+    instead of deleting, g2p.glsl:115-119). Returns the rejection count.
+
+    Mutates refs["pos"][axis] center columns (halo columns hold no
+    particles, so fixing the center is complete)."""
+    stride = z if axis == 1 else 1
+    occ0 = jnp.sum(occ_all.astype(jnp.int32), axis=0)  # [pcp]
+    movr = occ_all & (delta_all == 1.0)
+    movl = occ_all & (delta_all == -1.0)
+    rank_r, nmovr = _running_rank(movr)
+    rank_l, _ = _running_rank(movl)
+
+    c = _shift_cols
+    pr_r = c(occ0, stride, hm)[None] + c(rank_r, 0, hm)
+    pr_l = (
+        c(occ0, -stride, hm)[None]
+        + c(nmovr, -2 * stride, hm)[None]
+        + c(rank_l, 0, hm)
+    )
+    rej = (c(movr, 0, hm) & (pr_r >= k)) | (c(movl, 0, hm) & (pr_l >= k))
+
+    intra = jax.lax.broadcasted_iota(jnp.int32, (k, pc), 1)
+    coord = (intra // z if axis == 1 else intra % z).astype(dtype)
+    pos_c = c(refs["pos"][:][axis], 0, hm)
+    clamped = jnp.clip(pos_c, coord, coord + 1.0 - _CFL_EPS)
+    refs["pos"][axis, :, hm : hm + pc] = jnp.where(rej, clamped, pos_c)
+    return jnp.sum(rej.astype(jnp.int32))
 
 
 # ------------------------------------------------------------------ kernel F
@@ -143,15 +196,16 @@ def _gated_select(k, ranks, total, fields, write, zero_all: bool):
     return jnp.sum(jnp.maximum(total - k, 0))
 
 
-def _intra_phase(src, dst_write, axis: int, z: int, hm: int, k: int, dtype,
-                 add_lost, zero_all: bool = False, bulk_write=None):
-    """One intra-plane (z or y) migration phase on VMEM-resident values.
+def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
+                 add_lost, add_defer, zero_all: bool = False, bulk_write=None):
+    """One intra-plane (z or y) migration phase on VMEM-resident scratch.
 
-    src: dict of full-width padded values {pos [3,K,pcp], vel, C9 [9,K,pcp],
-    mass [K,pcp], ids}. dst_write(name, kk, v) writes output slot kk;
-    add_lost(n) accumulates the overflow count (called inside the select
-    branch). Candidate order and rank select are identical to
-    migrate_kernels._intra_core_kernel.
+    refs: dict of full-width padded VMEM refs {pos [3,K,pcp], vel,
+    C [9,K,pcp], mass [K,pcp], ids}. dst_write(name, kk, v) writes output
+    slot kk; add_lost(n)/add_defer(n) accumulate counters (called inside the
+    select branch). Candidate order and rank select are identical to
+    migrate_kernels._intra_core_kernel, with overflow rejection applied
+    first (see _reject_intra) so nothing is ever dropped.
 
     Zero-mover fast path: when no particle in the (padded) plane crosses a
     cell boundary along this axis, the select is the identity (buckets stay
@@ -160,21 +214,32 @@ def _intra_phase(src, dst_write, axis: int, z: int, hm: int, k: int, dtype,
     instead of running the O(K_out x 3K) select. Overflow is impossible on
     that path (occupancies unchanged, already <= K)."""
     stride = z if axis == 1 else 1
-    occ_all, delta_all = _intra_occ_delta(src["pos"], src["mass"], axis, z, hm, dtype)
-
-    def cands(x):
-        return (_shift_cols(x, 0, hm), _shift_cols(x, -stride, hm),
-                _shift_cols(x, stride, hm))
-
-    fields = [
-        ("pos", cands(src["pos"]), False),
-        ("vel", cands(src["vel"]), False),
-        ("C", cands(src["C"]), False),
-        ("mass", cands(src["mass"]), False),
-        ("ids", cands(src["ids"]), True),
-    ]
+    pc = refs["mass"].shape[-1] - 2 * hm
+    mass0 = refs["mass"][:]
+    occ_all0, delta_all0 = _intra_occ_delta(
+        refs["pos"][:], mass0, axis, z, hm, dtype
+    )
 
     def run_select():
+        add_defer(
+            _reject_intra(refs, occ_all0, delta_all0, axis, z, hm, k, pc, dtype)
+        )
+        src = {name: refs[name][:] for name in ("pos", "vel", "C", "mass", "ids")}
+        occ_all, delta_all = _intra_occ_delta(
+            src["pos"], src["mass"], axis, z, hm, dtype
+        )
+
+        def cands(x):
+            return (_shift_cols(x, 0, hm), _shift_cols(x, -stride, hm),
+                    _shift_cols(x, stride, hm))
+
+        fields = [
+            ("pos", cands(src["pos"]), False),
+            ("vel", cands(src["vel"]), False),
+            ("C", cands(src["C"]), False),
+            ("mass", cands(src["mass"]), False),
+            ("ids", cands(src["ids"]), True),
+        ]
         occ_c, occ_l, occ_r = (
             _shift_cols(occ_all, o, hm) for o in (0, -stride, stride)
         )
@@ -186,12 +251,12 @@ def _intra_phase(src, dst_write, axis: int, z: int, hm: int, k: int, dtype,
         run_select()
         return
 
-    any_mover = jnp.any(delta_all != 0.0)
+    any_mover = jnp.any(delta_all0 != 0.0)
 
     @pl.when(jnp.logical_not(any_mover))
     def _copy_through():
-        for name, cands_v, _ in fields:
-            bulk_write(name, cands_v[0])
+        for name in ("pos", "vel", "C", "mass", "ids"):
+            bulk_write(name, _shift_cols(refs[name][:], 0, hm))
 
     @pl.when(any_mover)
     def _full_select():
@@ -202,11 +267,11 @@ def _fused_kernel(
     # inputs
     pos_ref, mass_ref, ids_ref, gv_m_ref, gv_c_ref, gv_p_ref, scal_ref,
     # outputs
-    pos_o, vel_o, C_o, mass_o, ids_o, lost_ref, clamp_ref,
+    pos_o, vel_o, C_o, mass_o, ids_o, lost_ref, clamp_ref, defer_ref,
     # scratch
     tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
     tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
-    r_pos, r_vel, r_C, r_mass, r_ids,
+    r_pos, r_vel, r_C, r_mass, r_ids, scr_nmovr,
     *, config: SimConfig, n_inter: int,
 ):
     t = pl.program_id(0)
@@ -223,6 +288,7 @@ def _fused_kernel(
     def _init():
         lost_ref[0, 0] = 0
         clamp_ref[0, 0] = 0
+        defer_ref[0, 0] = 0
         # halo columns of the migration temps and the "plane -1" ring slot
         # are consumed (occupancy-masked) before ever being written — zero
         # them so uninitialized VMEM can't leak garbage into the selects
@@ -234,6 +300,7 @@ def _fused_kernel(
         r_C[2] = jnp.zeros_like(r_C[2])
         r_mass[2] = jnp.zeros_like(r_mass[2])
         r_ids[2] = jnp.zeros_like(r_ids[2])
+        scr_nmovr[:] = jnp.zeros_like(scr_nmovr)
 
     occ_any = jnp.max(mass_ref[:]) > 0
 
@@ -243,6 +310,7 @@ def _fused_kernel(
         # pos/vel/C rows are never selected (rank stays -1 for mass == 0)
         rt = jax.lax.rem(t, 3)
         r_mass[rt] = jnp.zeros_like(r_mass[rt])
+        scr_nmovr[jax.lax.rem(t, 4)] = jnp.zeros_like(scr_nmovr[0])
 
     @pl.when((t < nx) & occ_any)
     def _compute():
@@ -335,8 +403,8 @@ def _fused_kernel(
         tA_mass[:, hm : hm + pc] = mass
         tA_ids[:, hm : hm + pc] = ids_ref[:]
 
-        srcA = {"pos": tA_pos[:], "vel": tA_vel[:], "C": tA_C[:],
-                "mass": tA_mass[:], "ids": tA_ids[:]}
+        refsA = {"pos": tA_pos, "vel": tA_vel, "C": tA_C,
+                 "mass": tA_mass, "ids": tA_ids}
 
         def write_B(name, kk, v):
             ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
@@ -357,7 +425,10 @@ def _fused_kernel(
         def add_lost(v):
             lost_ref[0, 0] = lost_ref[0, 0] + v
 
-        _intra_phase(srcA, write_B, 2, z, hm, k, dtype, add_lost,
+        def add_defer(v):
+            defer_ref[0, 0] = defer_ref[0, 0] + v
+
+        _intra_phase(refsA, write_B, 2, z, hm, k, dtype, add_lost, add_defer,
                      bulk_write=bulk_B)
 
         rt = jax.lax.rem(t, 3)
@@ -375,10 +446,21 @@ def _fused_kernel(
                    "mass": r_mass, "ids": r_ids}[name]
             ref[rt] = v
 
-        srcB = {"pos": tB_pos[:], "vel": tB_vel[:], "C": tB_C[:],
-                "mass": tB_mass[:], "ids": tB_ids[:]}
-        _intra_phase(srcB, write_ring, 1, z, hm, k, dtype, add_lost,
-                     bulk_write=bulk_ring)
+        refsB = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
+                 "mass": tB_mass, "ids": tB_ids}
+        _intra_phase(refsB, write_ring, 1, z, hm, k, dtype, add_lost,
+                     add_defer, bulk_write=bulk_ring)
+
+        # x-mover census of the zy-settled plane, for overflow rejection in
+        # the output phase (a left-mover's acceptance at plane j-1 needs the
+        # from-left count of plane j-2 — outside the 3-slot state ring, so
+        # right-mover counts are kept in this cheap 4-deep [pc] ring)
+        occ_t = r_mass[rt] > 0
+        dx_t = _delta_axis(r_pos[rt][0], jnp.zeros((), dtype) + t.astype(dtype),
+                           occ_t)
+        scr_nmovr[jax.lax.rem(t, 4)] = jnp.sum(
+            (dx_t == 1.0).astype(jnp.int32), axis=0
+        )
 
     @pl.when(t >= 1)
     def _output():
@@ -445,11 +527,56 @@ def _fused_kernel(
 
         @pl.when(any_mover)
         def _full_select():
+            # ---- overflow rejection along x (mass conservation) ----
+            # Same conservative test as _reject_intra, on ring planes: a
+            # mover is rejected iff occ0(dest) + its index among dest's
+            # incoming candidates reaches K. Each side of the exchange
+            # evaluates the identical formula from the identical ring
+            # state, so source and destination always agree.
+            occ0_c = jnp.sum(occ_c.astype(jnp.int32), axis=0)  # plane j
+            occ0_l = jnp.sum(occ_l.astype(jnp.int32), axis=0)  # plane j-1
+            occ0_r = jnp.sum(occ_r.astype(jnp.int32), axis=0)  # plane j+1
+            movr_c = occ_c & (d_c == 1.0)
+            movl_c = occ_c & (d_c == -1.0)
+            rank_r_c, _ = _running_rank(movr_c)
+            rank_l_c, _ = _running_rank(movl_c)
+            nmovr_jm2 = scr_nmovr[jax.lax.rem(t + 1, 4)]  # (t-3)%4: plane j-2
+            nmovr_jm1 = scr_nmovr[jax.lax.rem(t + 2, 4)]  # (t-2)%4: plane j-1
+            rej_own = (movr_c & (occ0_r[None] + rank_r_c >= k)) | (
+                movl_c & (occ0_l[None] + nmovr_jm2[None] + rank_l_c >= k)
+            )
+            d_c2 = jnp.where(rej_own, 0.0, d_c)
+            # rejected movers stay in plane j with pos clamped inside it
+            jf = j.astype(dtype)
+            pos_c_x = jnp.where(
+                rej_own,
+                jnp.clip(pos_c[0], jf, jf + 1.0 - _CFL_EPS),
+                pos_c[0],
+            )
+            pos_c2 = jnp.stack([pos_c_x, pos_c[1], pos_c[2]])
+            defer_ref[0, 0] += jnp.sum(rej_own.astype(jnp.int32))
+
+            # incoming candidates rejected by THIS plane (their stay is
+            # handled by their own plane's output step, same formula)
+            movr_l = occ_l & (d_l == 1.0)
+            rank_r_l, _ = _running_rank(movr_l)
+            d_l2 = jnp.where(
+                movr_l & (occ0_c[None] + rank_r_l >= k), 0.0, d_l
+            )
+            movl_r = occ_r & (d_r == -1.0)
+            rank_l_r, _ = _running_rank(movl_r)
+            d_r2 = jnp.where(
+                movl_r & (occ0_c[None] + nmovr_jm1[None] + rank_l_r >= k),
+                0.0,
+                d_r,
+            )
+
+            fields2 = [("pos", (pos_c2, pos_l, pos_r), False)] + fields[1:]
             _, ranks, total = _rank_and_masks(
-                d_c, d_l, d_r, occ_c, occ_l, occ_r
+                d_c2, d_l2, d_r2, occ_c, occ_l, occ_r
             )
             lost_x = _gated_select(
-                k, ranks, total, fields, write_out, zero_all=True
+                k, ranks, total, fields2, write_out, zero_all=True
             )
             lost_ref[0, 0] = lost_ref[0, 0] + lost_x
 
@@ -526,7 +653,7 @@ def _g2p_migrate_fused(
 
     smem_counter = pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
 
-    pos, vel, C9, mass, ids, lost, clamped = pl.pallas_call(
+    pos, vel, C9, mass, ids, lost, clamped, deferred = pl.pallas_call(
         functools.partial(_fused_kernel, config=config, n_inter=n_inter),
         grid=(nx + 1,),
         in_specs=[
@@ -547,6 +674,7 @@ def _g2p_migrate_fused(
             out_plane(()),
             smem_counter,
             smem_counter,
+            smem_counter,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, k, c), dtype),
@@ -554,6 +682,7 @@ def _g2p_migrate_fused(
             jax.ShapeDtypeStruct((9, k, c), dtype),
             jax.ShapeDtypeStruct((k, c), dtype),
             jax.ShapeDtypeStruct((k, c), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
@@ -573,6 +702,7 @@ def _g2p_migrate_fused(
             pltpu.VMEM((3, 9, k, pc), dtype),
             pltpu.VMEM((3, k, pc), dtype),
             pltpu.VMEM((3, k, pc), jnp.int32),
+            pltpu.VMEM((4, pc), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -588,6 +718,7 @@ def _g2p_migrate_fused(
         ids=ids,
         lost=state.lost + lost[0, 0],
         cfl_clamped=state.cfl_clamped + clamped[0, 0],
+        deferred=state.deferred + deferred[0, 0],
     )
 
 
@@ -621,24 +752,27 @@ def substep_fused(
 
         return substep_planes(state, config, fp, interactions, interpret=interpret)
 
-    from .bucket_kernels import p2g_pallas
-    from ..grid import update_grid
-
-    if _NOP2G1:  # perf attribution: zero grid, skip kernels A+B entirely
-        grid = Grid(
-            mom=jnp.zeros((3, config.num_cells), state.pos.dtype),
-            mass=jnp.zeros((config.num_cells,), state.pos.dtype),
-        )
-    else:
-        grid = p2g_pallas(state, config, fp, skip_p2g2=_NOP2G2,
-                          interpret=interpret)
-    grid = update_grid(grid, config, fp)
+    from .p2g_fused import p2g_update_pallas, p2g_update_supported
 
     nx = config.grid_res[0]
     pc = config.num_cells // nx
     h = _halo(config)
-    gvel = jnp.swapaxes(grid.mom.reshape(3, nx, pc), 0, 1)  # [nx, 3, pc]
-    gvel = jnp.pad(gvel, ((0, 0), (0, 0), (h, h)))
+
+    if _NOP2G1:  # perf attribution: zero grid, skip P2G entirely
+        gvel = jnp.zeros((nx, 3, pc + 2 * h), state.pos.dtype)
+    elif p2g_update_supported(config) and not (_NO_KP or _NOP2G2):
+        # kernel P: P2G pass 1 + pass 2 + grid update in one sweep; emits
+        # the halo-padded grid-velocity array directly (no XLA glue)
+        gvel = p2g_update_pallas(state, fp, config, interpret=interpret)
+    else:
+        from .bucket_kernels import p2g_pallas
+        from ..grid import update_grid
+
+        grid = p2g_pallas(state, config, fp, skip_p2g2=_NOP2G2,
+                          interpret=interpret)
+        grid = update_grid(grid, config, fp)
+        gvel = jnp.swapaxes(grid.mom.reshape(3, nx, pc), 0, 1)  # [nx, 3, pc]
+        gvel = jnp.pad(gvel, ((0, 0), (0, 0), (h, h)))
     scals = _pack_scals(fp, interactions, state.pos.dtype)
     return _g2p_migrate_fused(
         state, gvel, scals, config, len(interactions), interpret=interpret

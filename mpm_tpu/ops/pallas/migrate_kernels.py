@@ -393,6 +393,7 @@ def migrate_intra_pallas(
         ids=ids,
         lost=state.lost + lost[0, 0],
         cfl_clamped=state.cfl_clamped,
+        deferred=state.deferred,
     )
 
 
@@ -502,6 +503,7 @@ def migrate_x_pallas(
         ids=ids,
         lost=state.lost + lost[0, 0],
         cfl_clamped=state.cfl_clamped,
+        deferred=state.deferred,
     )
 
 
@@ -511,7 +513,17 @@ def migrate_pallas(
     """Full migration: z, y intra-plane phases then the x cross-plane phase
     (matches ops/bucketed.migrate's axis order reversed — order is arbitrary
     as long as each phase fixes one axis; we run z, y, x so the cross-plane
-    phase sees y/z-settled buckets)."""
+    phase sees y/z-settled buckets).
+
+    Overflow rejection runs as an XLA prepass before each phase (the fused
+    kernel does it in-kernel; here the extra HBM round trip is acceptable —
+    this path serves configs whose plane working set exceeds the fused
+    kernel's VMEM envelope)."""
+    from ..bucketed import reject_overflow
+
+    state = reject_overflow(state, config, 2)
     state = migrate_intra_pallas(state, config, 2, interpret=interpret)
+    state = reject_overflow(state, config, 1)
     state = migrate_intra_pallas(state, config, 1, interpret=interpret)
+    state = reject_overflow(state, config, 0)
     return migrate_x_pallas(state, config, interpret=interpret)

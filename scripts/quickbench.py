@@ -28,7 +28,7 @@ from mpm_tpu.utils.timing import fence
 
 def main():
     n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     scene = benchmark_scene(n_target, bin_capacity=k)
     config, fluid = scene.config, scene.fluid
     n = scene.state.num_particles

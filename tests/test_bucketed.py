@@ -128,3 +128,62 @@ def test_bucketed_interaction_broadcasts():
     d_free = np.linalg.norm(np.asarray(sf.pos) - 8.0, axis=0).mean()
     assert np.all(np.isfinite(np.asarray(sp.pos)))
     assert d_push > d_free  # pushed away from the sphere center
+
+
+def test_overflow_rejection_conserves_particles():
+    """Crush the fluid into the floor under extreme gravity: buckets fill to
+    K, and the overflow-rejection migration must DEFER moves (clamping the
+    mover back into its source cell) rather than drop particles — the
+    reference clamps instead of deleting (g2p.glsl:115-119). Over 60
+    substeps: zero loss, exact particle-count conservation, occupancy <= K,
+    and the deferred counter actually fires."""
+    from mpm_tpu.models.scenes import fluid_3d
+
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = sc.config.replace(bin_capacity=8)
+    fluid = sc.fluid.replace(gravity=jnp.asarray([0.0, -60.0, 0.0]))
+    b = jax.jit(lambda s: bucketed.from_simstate(s, config), backend="cpu")(
+        sc.state
+    )
+    n0 = int(np.sum(np.asarray(b.mass) > 0))
+    assert int(b.lost) == 0
+
+    step = jax.jit(
+        lambda b, f: bucketed.substep(b, config, f, ()), backend="cpu"
+    )
+    for _ in range(60):
+        b = step(b, fluid)
+    occ = np.asarray(b.mass) > 0
+    assert int(b.lost) == 0, f"lost {int(b.lost)} particles"
+    assert int(np.sum(occ)) == n0, "particle count not conserved"
+    assert int(b.deferred) > 0, "crush scenario never deferred a move"
+    assert occ.sum(axis=0).max() <= config.bin_capacity
+    # invariant: every occupied slot still floors to its bucket cell
+    cell = np.asarray(bucketed.cell_coords(config, jnp.float32))
+    pos = np.asarray(b.pos)
+    for a in range(3):
+        d = np.floor(pos[a]) - cell[a][None, :]
+        assert np.all(np.abs(d[occ]) < 0.5 + 1e-6)
+
+
+def test_overflow_rejection_fused_matches_bucketed():
+    """The fused kernel's in-kernel rejection must be slot-identical to the
+    XLA engine's under bucket-overflow pressure."""
+    from mpm_tpu.models.scenes import fluid_3d
+    from mpm_tpu.ops.pallas import fused
+
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = sc.config.replace(bin_capacity=8)
+    fluid = sc.fluid.replace(gravity=jnp.asarray([0.0, -60.0, 0.0]))
+    b = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+    s_x, s_f = b, b
+    for _ in range(8):
+        s_x = jax.jit(lambda b, f: bucketed.substep(b, config, f, ()))(s_x, fluid)
+        s_f = fused.substep_fused(s_f, config, fluid, (), interpret=True)
+    assert int(s_x.deferred) > 0
+    assert int(s_f.deferred) == int(s_x.deferred)
+    assert int(s_f.lost) == int(s_x.lost) == 0
+    np.testing.assert_allclose(
+        np.asarray(s_x.pos), np.asarray(s_f.pos), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(s_x.ids), np.asarray(s_f.ids))

@@ -52,7 +52,8 @@ def test_cfl_clamp_keeps_invariant_and_counts():
     occ = b.mass > 0
     vel = jnp.where(occ, 40.0, 0.0) * jnp.ones_like(b.vel)  # 8 cells/substep
     b = bucketed.BucketState(pos=b.pos, vel=vel, C=b.C, mass=b.mass, ids=b.ids,
-                             lost=b.lost, cfl_clamped=b.cfl_clamped)
+                             lost=b.lost, cfl_clamped=b.cfl_clamped,
+                             deferred=b.deferred)
     from mpm_tpu.ops.bucketed import cell_coords
 
     s = jax.jit(lambda b, f: bucketed.substep(b, config, f, ()))(b, fluid)

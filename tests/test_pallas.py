@@ -48,7 +48,7 @@ def test_migration_pallas_matches_bucketed():
     pos = jnp.clip(b0.pos + jnp.where(occ, dpos, 0.0), 2.0, 13.5)
     pre = bucketed.BucketState(
         pos=pos, vel=b0.vel, C=b0.C, mass=b0.mass, ids=b0.ids, lost=b0.lost,
-        cfl_clamped=b0.cfl_clamped,
+        cfl_clamped=b0.cfl_clamped, deferred=b0.deferred,
     )
     mx = jax.jit(lambda b: bucketed.migrate(b, config))(pre)
     mp = mk.migrate_pallas(pre, config, interpret=True)
