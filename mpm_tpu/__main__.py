@@ -19,11 +19,72 @@ import time
 def _common(p):
     p.add_argument("scene", choices=None, nargs="?", default="fluid_3d")
     p.add_argument("--frames", type=int, default=30)
-    p.add_argument("--mode", default="auto", choices=["auto", "reference", "binned", "bucketed"])
+    p.add_argument(
+        "--mode",
+        default="auto",
+        choices=["auto", "reference", "binned", "bucketed", "pallas"],
+        help="auto = pallas on TPU, bucketed on CPU",
+    )
     p.add_argument("--substeps", type=int, default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir", default="/tmp/mpm_ckpt")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
+    p.add_argument(
+        "--interact",
+        action="append",
+        default=[],
+        metavar="sphere=x,y,z,r[,strength]",
+        help="radial force emitter (repeatable) — the headless analogue of "
+        "the reference's mouse-driven sphere collider "
+        "(MLSMPM3DFluidMultithreadGPU.cs:618-642, g2p.glsl:122-129)",
+    )
+    p.add_argument(
+        "--orbit-sphere",
+        action="store_true",
+        help="scripted demo: a repulsion sphere orbiting the domain center, "
+        "moved every frame (traced push-constant analogue; no recompiles)",
+    )
+
+
+def _parse_interactions(args, config):
+    """Build the per-frame interactions tuple + an update function for
+    scripted motion. Returns (interactions0, update_fn(frame) -> tuple)."""
+    import numpy as np
+
+    from .ops.interact import Interaction
+
+    static = []
+    for spec in args.interact:
+        kind, _, rest = spec.partition("=")
+        vals = [float(v) for v in rest.split(",") if v]
+        if kind != "sphere" or len(vals) < config.dim + 1:
+            raise SystemExit(
+                f"bad --interact {spec!r}: expected sphere=x,y,z,r[,strength]"
+            )
+        center, radius = vals[: config.dim], vals[config.dim]
+        strength = vals[config.dim + 1] if len(vals) > config.dim + 1 else 1.0
+        static.append(Interaction.sphere(center, radius=radius, strength=strength))
+
+    if not args.orbit_sphere:
+        inter = tuple(static)
+        return inter, lambda frame: inter
+
+    res = np.asarray(config.grid_res, np.float32)
+    cx = res / 2.0
+    orbit_r = float(res[0]) / 4.0
+    radius = max(4.0, float(res[0]) / 8.0)
+
+    def update(frame):
+        ang = 2.0 * np.pi * frame / 120.0
+        center = cx.copy()
+        center[0] += orbit_r * np.cos(ang)
+        center[-1] += orbit_r * np.sin(ang)
+        if config.dim == 3:
+            center[1] = res[1] / 5.0  # sweep through the pool depth
+        orb = Interaction.sphere(center[: config.dim], radius=radius, strength=1.0)
+        return tuple(static) + (orb,)
+
+    return update(0), update
 
 
 def _setup_jax():
@@ -42,16 +103,39 @@ def _build(args):
     scene = get_scene(args.scene)
     mode = args.mode
     if mode == "auto":
-        mode = "bucketed"
+        # the production path: fused Pallas kernels on TPU, the XLA bucket
+        # engine elsewhere (pallas falls back internally for unsupported
+        # configs — 2D / fixed-point)
+        mode = "pallas" if jax.default_backend() not in ("cpu",) else "bucketed"
     step = make_step(scene.config, mode=mode, substeps=args.substeps)
-    if mode == "bucketed":
+    if mode in ("bucketed", "pallas"):
         state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(scene.state)
     else:
         state = jax.device_put(scene.state)
     if args.resume:
         from .utils import checkpoint
 
-        state, fluid, _, _ = checkpoint.load(args.resume)
+        state, fluid, ck_config, _ = checkpoint.load(args.resume)
+        # validate the checkpoint against the selected mode/scene (ADVICE r1:
+        # a binned-mode SimState resumed under bucketed mode fails at step
+        # time with an opaque tracer error — fail early and converciblely)
+        want_bucket = mode in ("bucketed", "pallas")
+        is_bucket = isinstance(state, bucketed.BucketState)
+        if want_bucket and not is_bucket:
+            state = jax.jit(
+                lambda s: bucketed.from_simstate(s, scene.config)
+            )(state)
+            print("converted linear checkpoint state to buckets")
+        elif is_bucket and not want_bucket:
+            state = bucketed.to_simstate(state, scene.config.num_particles)
+            print("converted bucket checkpoint state to linear")
+        if ck_config is not None:
+            ck_grid = tuple(ck_config.get("grid_res", scene.config.grid_res))
+            if tuple(ck_grid) != tuple(scene.config.grid_res):
+                raise SystemExit(
+                    f"checkpoint grid {ck_grid} != scene grid "
+                    f"{scene.config.grid_res}; pass the matching scene"
+                )
         scene = scene._replace(fluid=fluid)
         print(f"resumed from {args.resume}")
     return scene, step, state, mode
@@ -66,16 +150,18 @@ def cmd_run(args):
     scene, step, state, mode = _build(args)
     n = scene.state.num_particles
     substeps = args.substeps or scene.config.substeps
-    print(f"scene={scene.name} N={n} grid={scene.config.grid_res} mode={mode}")
+    inter0, inter_fn = _parse_interactions(args, scene.config)
+    print(f"scene={scene.name} N={n} grid={scene.config.grid_res} mode={mode}"
+          + (f" interactions={len(inter0)}" if inter0 else ""))
 
     stats = FrameStats()
     t0 = time.perf_counter()
-    state = step(state, scene.fluid, ())
+    state = step(state, scene.fluid, inter0)
     fence(state)
     print(f"compile+first frame: {time.perf_counter() - t0:.1f}s")
 
     for i in range(args.frames):
-        state = step(state, scene.fluid, ())
+        state = step(state, scene.fluid, inter_fn(i))
         fence(state)  # honest frame pacing (see utils/timing.py)
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
             from .utils import checkpoint
@@ -92,9 +178,10 @@ def cmd_run(args):
         f"frames={args.frames} avg={s['avg_ms']:.2f}ms min={s['min_ms']:.2f} "
         f"max={s['max_ms']:.2f} fps={s['fps']:.1f} -> {pps/1e6:.1f}M particle-steps/s"
     )
-    leaves = None
-    if mode == "bucketed":
-        print(f"lost particles: {int(np.asarray(state.lost))}")
+    if mode in ("bucketed", "pallas"):
+        print(f"lost: {int(np.asarray(state.lost))} "
+              f"deferred: {int(np.asarray(state.deferred))} "
+              f"cfl-clamped: {int(np.asarray(state.cfl_clamped))}")
 
 
 def cmd_render(args):
@@ -127,7 +214,7 @@ def cmd_render(args):
 
     @jax.jit
     def extract(state):
-        if mode == "bucketed":
+        if mode in ("bucketed", "pallas"):
             pos = state.pos.reshape(state.pos.shape[0], -1)
             vel = state.vel.reshape(state.vel.shape[0], -1)
             live = state.mass.reshape(-1) > 0
@@ -137,9 +224,10 @@ def cmd_render(args):
             return pos, jnp.linalg.norm(vel, axis=0)
         return state.pos, jnp.linalg.norm(state.vel, axis=0)
 
+    inter0, inter_fn = _parse_interactions(args, scene.config)
     t0 = time.perf_counter()
     for i in range(args.frames):
-        state = step(state, scene.fluid, ())
+        state = step(state, scene.fluid, inter_fn(i))
         pos, vmag = extract(state)
         img = renderer(pos, vmag, view)
         write_png(os.path.join(args.out, f"frame_{i:05d}.png"), np.asarray(img))
