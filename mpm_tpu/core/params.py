@@ -96,7 +96,28 @@ class SimConfig:
 
     dtype: Any = jnp.float32
 
+    # Storage dtype for the bucket-state vel and C arrays ("float32" or
+    # "bfloat16"). The substep is HBM-streaming-bound on this platform and
+    # vel+C are 48 of the 68 bytes/slot of state; bf16 storage cuts that in
+    # half. ALL arithmetic stays float32 — values are rounded only at the
+    # HBM boundary, identically in the XLA and Pallas engines (so the
+    # engines remain bit-identical to each other). pos/mass stay float32:
+    # position precision compounds across substeps.
+    storage_dtype: str = "float32"
+
+    # Static specialization of the EOS exponent: a traced `ratio ** power`
+    # lowers to exp(power * log(ratio)) — dozens of transcendental VPU ops
+    # per slot. When the scene knows its exponent is fixed (the reference
+    # hard-codes 7.0 or 4.0 per variant), setting it here lets the kernels
+    # unroll the power into 2-3 multiplies. 0.0 = use the traced
+    # FluidParams.eos_power (fully runtime-tunable, slower).
+    eos_power_static: float = 0.0
+
     # ---- derived ----
+    @property
+    def vc_dtype(self):
+        return jnp.bfloat16 if self.storage_dtype == "bfloat16" else jnp.float32
+
     @property
     def dim(self) -> int:
         return len(self.grid_res)

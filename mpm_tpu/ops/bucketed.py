@@ -127,8 +127,10 @@ def p2g_bucketed(
     center = cell_coords(config, state.pos.dtype) + 0.5  # [D, C]
 
     pos_p = _pad_last(state.pos, h)
-    vel_p = _pad_last(state.vel, h)
-    C_p = _pad_last(state.C, h)
+    # vel/C may be stored bf16 (SimConfig.storage_dtype); ALL arithmetic is
+    # f32 — rounding happens only at the g2p store, identically in Pallas
+    vel_p = _pad_last(state.vel.astype(state.pos.dtype), h)
+    C_p = _pad_last(state.C.astype(state.pos.dtype), h)
     mass_p = _pad_last(state.mass, h)
 
     from ..core.state import zero_grid
@@ -178,7 +180,7 @@ def p2g_bucketed(
     occ = state.mass > 0
     safe_density = jnp.where(occ, density, 1.0)
     volume = jnp.where(occ, state.mass / safe_density, 0.0)
-    pressure = eos_pressure(safe_density, fp)
+    pressure = eos_pressure(safe_density, fp, config.eos_power_static)
     coef = -4.0 * fp.dt * volume  # [K, C]
     a_p = coef * (-pressure)  # pressure * identity part
     b_mu = coef * fp.dynamic_viscosity
@@ -223,8 +225,8 @@ def g2p_bucketed(
     d_own = state.pos - center[:, None, :]
 
     gvel_pad = _pad_last(grid.mom, h)
-    vel = jnp.zeros_like(state.vel)
-    B = jnp.zeros_like(state.C)
+    vel = jnp.zeros_like(state.vel, dtype=state.pos.dtype)
+    B = jnp.zeros_like(state.C, dtype=state.pos.dtype)
     for tap, off in zip(bspline.taps(dim), flat_tap_offsets(config)):
         gv = _decode(_shift(gvel_pad, h, off, c), config)  # [D, C] at b + off
         w = bspline.tap_weight(d_own, tap)  # [K, C]
@@ -262,8 +264,8 @@ def g2p_bucketed(
     Cmat = jnp.where(occ, Cmat, 0.0)
     return BucketState(
         pos=pos,
-        vel=vel,
-        C=Cmat,
+        vel=vel.astype(config.vc_dtype),
+        C=Cmat.astype(config.vc_dtype),
         mass=state.mass,
         ids=state.ids,
         lost=state.lost,
@@ -393,8 +395,8 @@ def _migrate_axis(state: BucketState, config: SimConfig, axis: int) -> BucketSta
         x = candf.astype(state.pos.dtype) if ids else candf
         outs = []
         for kk in range(k):
-            m = (rank == kk).astype(state.pos.dtype)  # [3K, C]
-            outs.append(jnp.sum(x * m, axis=-2))
+            m = (rank == kk).astype(x.dtype)  # [3K, C]; one-hot mult is
+            outs.append(jnp.sum(x * m, axis=-2))  # exact in any dtype
         out = jnp.stack(outs, axis=-2)  # [..., K, C]
         if ids:
             return jnp.round(out).astype(jnp.int32)
@@ -463,8 +465,8 @@ def from_simstate(state: SimState, config: SimConfig) -> BucketState:
     pos = jnp.where(mass > 0, pos, center[:, None, :])
     return BucketState(
         pos=pos,
-        vel=pack(s_sorted.vel),
-        C=pack(s_sorted.C),
+        vel=pack(s_sorted.vel).astype(config.vc_dtype),
+        C=pack(s_sorted.C).astype(config.vc_dtype),
         mass=mass,
         ids=ids,
         lost=jnp.asarray(

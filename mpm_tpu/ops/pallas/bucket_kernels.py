@@ -61,11 +61,13 @@ def _halo(config: SimConfig) -> int:
 
 
 def _plane_geometry(pos_blk, i, z, dtype):
-    """d = pos - cell - 0.5 for the plane's buckets. pos_blk [3, kb, pc]."""
+    """d = pos - cell - 0.5 for the plane's buckets. pos_blk [3, kb, pc].
+    `i` is the GLOBAL x-plane coordinate (an int or float scalar tracer —
+    sharded callers pass x0 + t as a float)."""
     intra = jax.lax.broadcasted_iota(jnp.int32, pos_blk.shape[1:], 1)  # [kb, pc]
     cy = (intra // z).astype(dtype)
     cz = (intra % z).astype(dtype)
-    cx = jnp.zeros_like(cy) + i.astype(dtype)
+    cx = jnp.zeros_like(cy) + jnp.asarray(i).astype(dtype)
     return jnp.stack(
         [pos_blk[0] - cx - 0.5, pos_blk[1] - cy - 0.5, pos_blk[2] - cz - 0.5]
     )
@@ -78,6 +80,22 @@ def _tap_w_dist(d, tap):
     w = bspline.tap_weight(d, tap)
     dist = jnp.stack([float(tap[a] - 1) - d[a] for a in range(3)])
     return w, dist
+
+
+def _weight_tables(d):
+    """Shared per-axis weight/offset tables for a 27-tap loop: 9 axis
+    weights + 9 wy*wz products once, so each tap costs ONE multiply
+    (wx[tx] * wyz[ty][tz]) instead of re-evaluating three quadratics —
+    explicit CSE the compiler is not trusted to find. Returns
+    (wx[3], wyz[3][3], dists[axis][tap])."""
+    wx = [bspline.axis_weight(i, d[0]) for i in range(3)]
+    wy = [bspline.axis_weight(i, d[1]) for i in range(3)]
+    wz = [bspline.axis_weight(i, d[2]) for i in range(3)]
+    # product order (wx*wy)*wz matches bspline.tap_weight exactly, so the
+    # XLA engines and these kernels round identically
+    wxy = [[wx[i] * wy[j] for j in range(3)] for i in range(3)]
+    dists = [[float(i - 1) - d[a] for i in range(3)] for a in range(3)]
+    return wxy, wz, dists
 
 
 # ------------------------------------------------------------- kernel A: P2G1
@@ -250,6 +268,11 @@ def pallas_supported(config: SimConfig) -> bool:
     """Mosaic block constraints: plane cells 128-divisible, K blockable into
     8-slot chunks (or whole), float 3D only, grid accumulator fits VMEM."""
     if config.dim != 3 or config.fixed_point:
+        return False
+    if config.storage_dtype != "float32":
+        # the split kernels predate bf16 vel/C storage; the fused path
+        # (fused.py + p2g_fused.py) handles it, the XLA engine is the
+        # fallback otherwise
         return False
     pc = config.grid_res[1] * config.grid_res[2]
     # K is blockable when divisible into 8-slot chunks, or used whole

@@ -49,7 +49,14 @@ from ...core.state import Grid
 from .. import bspline
 from ..bucketed import CFL_EPS as _CFL_EPS
 from ..bucketed import BucketState
-from .bucket_kernels import _TAPS3, _halo, _plane_geometry, _tap_parts, _tap_w_dist
+from .bucket_kernels import (
+    _TAPS3,
+    _halo,
+    _plane_geometry,
+    _tap_parts,
+    _tap_w_dist,
+    _weight_tables,
+)
 from .migrate_kernels import (
     _INT_SENTINEL,
     _delta_axis,
@@ -272,10 +279,11 @@ def _fused_kernel(
     tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
     tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
     r_pos, r_vel, r_C, r_mass, r_ids, scr_nmovr,
-    *, config: SimConfig, n_inter: int,
+    *, config: SimConfig, n_inter: int, shard: bool,
 ):
     t = pl.program_id(0)
-    nx = pl.num_programs(0) - 1
+    L = pl.num_programs(0) - 1  # local planes swept (== nx when unsharded)
+    nx = config.grid_res[0]     # GLOBAL plane count (bounds checks)
     z = config.grid_res[2]
     pc = config.grid_res[1] * z
     h = _halo(config)          # grid-velocity view padding (z + 1)
@@ -283,6 +291,10 @@ def _fused_kernel(
     k = mass_ref.shape[0]
     dtype = pos_ref.dtype
     res = [float(r) for r in config.grid_res]
+    x0 = scal_ref[1 + 7 * max(n_inter, 1)]  # global coord of local plane 0
+    # sharded: counter events on redundantly-computed halo planes belong to
+    # the neighbor that owns them — count interior planes only
+    c_lo, c_hi = (2, L - 3) if shard else (0, L - 1)
 
     @pl.when(t == 0)
     def _init():
@@ -304,7 +316,7 @@ def _fused_kernel(
 
     occ_any = jnp.max(mass_ref[:]) > 0
 
-    @pl.when((t < nx) & jnp.logical_not(occ_any))
+    @pl.when((t < L) & jnp.logical_not(occ_any))
     def _skip_empty_plane():
         # empty plane: its ring slot only needs dead occupancy; the stale
         # pos/vel/C rows are never selected (rank stays -1 for mass == 0)
@@ -312,22 +324,25 @@ def _fused_kernel(
         r_mass[rt] = jnp.zeros_like(r_mass[rt])
         scr_nmovr[jax.lax.rem(t, 4)] = jnp.zeros_like(scr_nmovr[0])
 
-    @pl.when((t < nx) & occ_any)
+    @pl.when((t < L) & occ_any)
     def _compute():
         # ---- 1. G2P for plane t (g2p.glsl:52-108) ----
         pos = pos_ref[:]
         mass = mass_ref[:]
         occ = mass > 0
-        d = _plane_geometry(pos, t, z, dtype)
+        gf = x0 + t.astype(dtype)  # global plane coordinate
+        d = _plane_geometry(pos, gf, z, dtype)
 
         vel = jnp.zeros((3, k, pc), dtype)
         B = jnp.zeros((9, k, pc), dtype)
         views = {-1: gv_m_ref, 0: gv_c_ref, 1: gv_p_ref}
+        wxy, wz_t, dists = _weight_tables(d)
         for tap, (dx, oyz) in ([] if _NOG2P else list(zip(_TAPS3, _tap_parts(config)))):
-            w, dist = _tap_w_dist(d, tap)
+            w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
+            dist = [dists[a][tap[a]] for a in range(3)]
             lo = h + oyz
             plane = views[dx][0, :, lo : lo + pc]  # [3, pc]
-            ok = ((t + dx) >= 0) & ((t + dx) < nx)
+            ok = (gf + dx >= 0) & (gf + dx <= float(nx - 1))
             gv = jnp.where(ok, plane, 0.0)
             wv = w[None] * gv[:, None, :]  # [3, kb, pc]
             vel = vel + wv
@@ -375,11 +390,14 @@ def _fused_kernel(
         intra = jax.lax.broadcasted_iota(jnp.int32, (k, pc), 1)
         cy_f = (intra // z).astype(dtype)
         cz_f = (intra % z).astype(dtype)
-        cx_f = jnp.zeros_like(cy_f) + t.astype(dtype)
+        cx_f = jnp.zeros_like(cy_f) + gf
         cell = jnp.stack([cx_f, cy_f, cz_f])
         pos_cfl = jnp.clip(pos, cell - 1.0, cell + 2.0 - _CFL_EPS)
         moved = occ & jnp.any(pos_cfl != pos, axis=0)
-        clamp_ref[0, 0] += jnp.sum(moved.astype(jnp.int32))
+        in_interior = (t >= c_lo) & (t <= c_hi)
+        clamp_ref[0, 0] += jnp.where(
+            in_interior, jnp.sum(moved.astype(jnp.int32)), 0
+        )
         pos = pos_cfl
 
         center = cell + 0.5
@@ -423,10 +441,10 @@ def _fused_kernel(
                 ref[:, :, hm : hm + pc] = v
 
         def add_lost(v):
-            lost_ref[0, 0] = lost_ref[0, 0] + v
+            lost_ref[0, 0] += jnp.where(in_interior, v, 0)
 
         def add_defer(v):
-            defer_ref[0, 0] = defer_ref[0, 0] + v
+            defer_ref[0, 0] += jnp.where(in_interior, v, 0)
 
         _intra_phase(refsA, write_B, 2, z, hm, k, dtype, add_lost, add_defer,
                      bulk_write=bulk_B)
@@ -456,8 +474,7 @@ def _fused_kernel(
         # from-left count of plane j-2 — outside the 3-slot state ring, so
         # right-mover counts are kept in this cheap 4-deep [pc] ring)
         occ_t = r_mass[rt] > 0
-        dx_t = _delta_axis(r_pos[rt][0], jnp.zeros((), dtype) + t.astype(dtype),
-                           occ_t)
+        dx_t = _delta_axis(r_pos[rt][0], jnp.zeros((), dtype) + gf, occ_t)
         scr_nmovr[jax.lax.rem(t, 4)] = jnp.sum(
             (dx_t == 1.0).astype(jnp.int32), axis=0
         )
@@ -469,34 +486,36 @@ def _fused_kernel(
         if _NOMIG:  # perf attribution: copy plane j through unmigrated
             rcc = jax.lax.rem(t + 2, 3)
             pos_o[:] = r_pos[rcc]
-            vel_o[:] = r_vel[rcc]
-            C_o[:] = r_C[rcc]
+            vel_o[:] = r_vel[rcc].astype(vel_o.dtype)
+            C_o[:] = r_C[rcc].astype(C_o.dtype)
             mass_o[:] = r_mass[rcc]
             ids_o[:] = r_ids[rcc]
             return
         rl = jax.lax.rem(t + 1, 3)  # (t-2) % 3: plane j-1
         rc = jax.lax.rem(t + 2, 3)  # (t-1) % 3: plane j
         rr = jax.lax.rem(t, 3)      # plane j+1
+        gj = x0 + j.astype(dtype)   # global plane coordinate of plane j
+        out_interior = (j >= c_lo) & (j <= c_hi)
 
-        def occ_delta(pos_blk, mass_blk, plane):
+        def occ_delta(pos_blk, mass_blk, gplane):
             occ = mass_blk > 0
-            x_valid = (plane >= 0) & (plane < nx)
+            x_valid = (gplane >= 0) & (gplane <= float(nx - 1))
             occ = occ & x_valid
-            delta = _delta_axis(pos_blk[0], plane.astype(dtype), occ)
+            delta = _delta_axis(pos_blk[0], gplane, occ)
             return occ, delta
 
         pos_c, pos_l, pos_r = r_pos[rc], r_pos[rl], r_pos[rr]
-        occ_c, d_c = occ_delta(pos_c, r_mass[rc], j)
-        occ_l, d_l = occ_delta(pos_l, r_mass[rl], j - 1)
-        occ_r, d_r = occ_delta(pos_r, r_mass[rr], j + 1)
+        occ_c, d_c = occ_delta(pos_c, r_mass[rc], gj)
+        occ_l, d_l = occ_delta(pos_l, r_mass[rl], gj - 1.0)
+        occ_r, d_r = occ_delta(pos_r, r_mass[rr], gj + 1.0)
 
         def write_out(name, kk, v):
             ref = {"pos": pos_o, "vel": vel_o, "C": C_o,
                    "mass": mass_o, "ids": ids_o}[name]
             if name in ("mass", "ids"):
-                ref[kk, :] = v
+                ref[kk, :] = v.astype(ref.dtype)
             else:
-                ref[:, kk, :] = v
+                ref[:, kk, :] = v.astype(ref.dtype)  # vel/C may store bf16
 
         fields = [
             ("pos", (pos_c, pos_l, pos_r), False),
@@ -520,8 +539,8 @@ def _fused_kernel(
             # match the select path's zeros/sentinel
             occk = occ_c[None]
             pos_o[:] = jnp.where(occk, pos_c, 0.0)
-            vel_o[:] = jnp.where(occk, r_vel[rc], 0.0)
-            C_o[:] = jnp.where(occk, r_C[rc], 0.0)
+            vel_o[:] = jnp.where(occk, r_vel[rc], 0.0).astype(vel_o.dtype)
+            C_o[:] = jnp.where(occk, r_C[rc], 0.0).astype(C_o.dtype)
             mass_o[:] = r_mass[rc]
             ids_o[:] = jnp.where(occ_c, r_ids[rc], _INT_SENTINEL)
 
@@ -547,14 +566,15 @@ def _fused_kernel(
             )
             d_c2 = jnp.where(rej_own, 0.0, d_c)
             # rejected movers stay in plane j with pos clamped inside it
-            jf = j.astype(dtype)
             pos_c_x = jnp.where(
                 rej_own,
-                jnp.clip(pos_c[0], jf, jf + 1.0 - _CFL_EPS),
+                jnp.clip(pos_c[0], gj, gj + 1.0 - _CFL_EPS),
                 pos_c[0],
             )
             pos_c2 = jnp.stack([pos_c_x, pos_c[1], pos_c[2]])
-            defer_ref[0, 0] += jnp.sum(rej_own.astype(jnp.int32))
+            defer_ref[0, 0] += jnp.where(
+                out_interior, jnp.sum(rej_own.astype(jnp.int32)), 0
+            )
 
             # incoming candidates rejected by THIS plane (their stay is
             # handled by their own plane's output step, same formula)
@@ -578,7 +598,7 @@ def _fused_kernel(
             lost_x = _gated_select(
                 k, ranks, total, fields2, write_out, zero_all=True
             )
-            lost_ref[0, 0] = lost_ref[0, 0] + lost_x
+            lost_ref[0, 0] += jnp.where(out_interior, lost_x, 0)
 
 
 # ----------------------------------------------------------------- dispatch
@@ -607,29 +627,37 @@ def fused_supported(config: SimConfig, k: int | None = None) -> bool:
     return _vmem_bytes(config, k) <= 110 * 2**20
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_inter", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("config", "n_inter", "shard", "interpret")
+)
 def _g2p_migrate_fused(
     state: BucketState,
     gvel_pad: jax.Array,
     scals: jax.Array,
     config: SimConfig,
     n_inter: int,
+    shard: bool = False,
     interpret: bool = False,
 ):
+    """Sharded mode: `state` is a shard's padded slab (L = loc_x + 4 planes),
+    `gvel_pad` carries one extra plane per side ([L+2, 3, pcp]), and `scals`
+    ends with x0 (the global plane coordinate of local plane 0). Outputs all
+    L planes; the caller keeps the loc_x interior ones."""
     dim, k, c = state.pos.shape
-    nx = config.grid_res[0]
     z = config.grid_res[2]
-    pc = c // nx
+    pc = config.grid_res[1] * z
+    L = c // pc  # local planes (== grid nx when unsharded)
     h = _halo(config)
     hm = _mig_halo(z)
     dtype = state.pos.dtype
+    go = 1 if shard else 0  # gvel halo-plane offset
 
     def in_plane(lead):
         ndim = len(lead) + 2
 
         def index(t):
             idx = [0] * ndim
-            idx[-1] = jnp.clip(t, 0, nx - 1)
+            idx[-1] = jnp.clip(t, 0, L - 1)
             return tuple(idx)
 
         return pl.BlockSpec((*lead, k, pc), index, memory_space=pltpu.VMEM)
@@ -637,7 +665,7 @@ def _g2p_migrate_fused(
     def gv_view(dx):
         return pl.BlockSpec(
             (1, 3, pc + 2 * h),
-            lambda t, dx=dx: (jnp.clip(t + dx, 0, nx - 1), 0, 0),
+            lambda t, dx=dx: (jnp.clip(t + dx + go, 0, L - 1 + 2 * go), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -654,8 +682,10 @@ def _g2p_migrate_fused(
     smem_counter = pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
 
     pos, vel, C9, mass, ids, lost, clamped, deferred = pl.pallas_call(
-        functools.partial(_fused_kernel, config=config, n_inter=n_inter),
-        grid=(nx + 1,),
+        functools.partial(
+            _fused_kernel, config=config, n_inter=n_inter, shard=shard
+        ),
+        grid=(L + 1,),
         in_specs=[
             in_plane((3,)),
             in_plane(()),
@@ -663,7 +693,7 @@ def _g2p_migrate_fused(
             gv_view(-1),
             gv_view(0),
             gv_view(1),
-            pl.BlockSpec((1 + 7 * max(n_inter, 1),), lambda t: (0,),
+            pl.BlockSpec((2 + 7 * max(n_inter, 1),), lambda t: (0,),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -678,8 +708,8 @@ def _g2p_migrate_fused(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, k, c), dtype),
-            jax.ShapeDtypeStruct((3, k, c), dtype),
-            jax.ShapeDtypeStruct((9, k, c), dtype),
+            jax.ShapeDtypeStruct((3, k, c), state.vel.dtype),
+            jax.ShapeDtypeStruct((9, k, c), state.C.dtype),
             jax.ShapeDtypeStruct((k, c), dtype),
             jax.ShapeDtypeStruct((k, c), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -722,7 +752,7 @@ def _g2p_migrate_fused(
     )
 
 
-def _pack_scals(fp: FluidParams, interactions: Sequence, dtype) -> jax.Array:
+def _pack_scals(fp: FluidParams, interactions: Sequence, dtype, x0=None) -> jax.Array:
     vals = [jnp.asarray(fp.dt, dtype)]
     for it in interactions:
         vals += [
@@ -736,6 +766,8 @@ def _pack_scals(fp: FluidParams, interactions: Sequence, dtype) -> jax.Array:
         ]
     if not interactions:  # pad so the SMEM block shape is never length-1
         vals += [jnp.zeros((), dtype)] * 7
+    # global plane coordinate of the local array's plane 0 (sharded slabs)
+    vals.append(jnp.asarray(0.0 if x0 is None else x0, dtype))
     return jnp.stack(vals)
 
 

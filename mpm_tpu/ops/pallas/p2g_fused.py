@@ -39,35 +39,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.params import BC_FRICTION, BC_SLIP, BC_STICK, FluidParams, SimConfig
-from .bucket_kernels import _TAPS3, _halo, _plane_geometry, _tap_parts, _tap_w_dist
+from ..stress import pow_static
+from .bucket_kernels import (
+    _TAPS3,
+    _halo,
+    _plane_geometry,
+    _tap_parts,
+    _tap_w_dist,
+    _weight_tables,
+)
 
 
 def _matvec9(C9, v):
-    """rows i = sum_j C9[3i+j] * v[j] for [9, K, pc] x [3, K, pc]."""
-    return jnp.stack([
+    """rows i = sum_j C9[3i+j] * v[j]; returns a 3-list of [K, pc] rows (no
+    stack — callers combine rows elementwise and stack once at the end)."""
+    return [
         C9[3 * i] * v[0] + C9[3 * i + 1] * v[1] + C9[3 * i + 2] * v[2]
         for i in range(3)
-    ])
+    ]
 
 
 def _matvec9_t(C9, v):
-    return jnp.stack([
+    return [
         C9[i] * v[0] + C9[3 + i] * v[1] + C9[6 + i] * v[2]
         for i in range(3)
-    ])
+    ]
 
 
 def _p2g_update_kernel(
     pos_ref, vel_ref, C_ref, mass_ref, scal_ref,
     gvel_o,
     r_pos, r_C, r_mass, gmass,
-    *, config: SimConfig, legacy_strain: bool,
+    *, config: SimConfig, legacy_strain: bool, shard: bool,
 ):
     t = pl.program_id(0)
-    nx = config.grid_res[0]
+    L = pl.num_programs(0) - 3  # local planes swept (== nx when unsharded)
+    nx = config.grid_res[0]  # GLOBAL plane count
     z = config.grid_res[2]
     pc = config.grid_res[1] * z
     h = _halo(config)
+    ao = 1 if shard else 0  # accumulator halo-plane offset (sharded: the
+    # scatter reach of the padded slab extends one plane past it each side)
     dtype = pos_ref.dtype
 
     dt = scal_ref[0]
@@ -76,6 +88,7 @@ def _p2g_update_kernel(
     stiffness = scal_ref[3]
     power = scal_ref[4]
     floor = scal_ref[5]
+    x0 = scal_ref[9]  # global plane coordinate of local plane 0 (0 unsharded)
 
     @pl.when(t == 0)
     def _init():
@@ -83,7 +96,7 @@ def _p2g_update_kernel(
         gmass[:] = jnp.zeros_like(gmass)
 
     # ---- A-phase: P2G pass 1 for plane t (p2g_1.glsl:56-93) ----
-    @pl.when(t < nx)
+    @pl.when(t < L)
     def _a_phase():
         mass = mass_ref[:]
         r_mass[jax.lax.rem(t, 3)] = mass  # always: B occupancy-masks via mass
@@ -92,31 +105,42 @@ def _p2g_update_kernel(
         def _occupied():
             rt = jax.lax.rem(t, 3)
             pos = pos_ref[:]
-            velp = vel_ref[:]
-            C9 = C_ref[:]
+            # vel/C may be stored bf16; arithmetic is f32 (ring scratch too)
+            velp = vel_ref[:].astype(pos.dtype)
+            C9 = C_ref[:].astype(pos.dtype)
             r_pos[rt] = pos
             r_C[rt] = C9
-            occ = mass > 0
-            d = _plane_geometry(pos, t, z, dtype)
+            g = x0 + t.astype(dtype)  # global plane coordinate
+            d = _plane_geometry(pos, g, z, dtype)
+            wxy, wz_t, dists = _weight_tables(d)
 
             for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-                w, dist = _tap_w_dist(d, tap)
-                w = jnp.where(occ, w, 0.0)
+                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
+                dist = [dists[a][tap[a]] for a in range(3)]
+                # no occupancy mask needed: empty slots have mass == 0, so
+                # mass_c (and everything downstream) is already zero
                 mass_c = w * mass
                 Cd = _matvec9(C9, dist)
-                mom_c = mass_c * (velp + Cd)
+                mom_c = jnp.stack(
+                    [mass_c * (velp[a] + Cd[a]) for a in range(3)]
+                )
                 m_p = jnp.sum(mass_c, axis=0)
                 mom_p = jnp.sum(mom_c, axis=1)
-                p = t + dx
+                p = t + dx + ao
+                ok = (g + dx >= 0) & (g + dx <= nx - 1)
+                if not shard:
+                    ok = (t + dx >= 0) & (t + dx < L)
+                else:
+                    p = jnp.clip(p, 0, L + 2 * ao - 1)
                 lo = h + oyz
 
-                @pl.when((p >= 0) & (p < nx))
+                @pl.when(ok)
                 def _(p=p, m_p=m_p, mom_p=mom_p, lo=lo):
                     gmass[p, lo : lo + pc] += m_p
                     gvel_o[p, :, lo : lo + pc] += mom_p
 
     # ---- B-phase: density + P2G pass 2 for plane j = t - 2 ----
-    @pl.when((t >= 2) & (t - 2 < nx))
+    @pl.when((t >= 2) & (t - 2 < L))
     def _b_phase():
         j = t - 2
         rj = jax.lax.rem(j, 3)
@@ -127,43 +151,57 @@ def _p2g_update_kernel(
             pos = r_pos[rj]
             C9 = r_C[rj]
             occ = mass > 0
-            d = _plane_geometry(pos, j, z, dtype)
+            gj = x0 + j.astype(dtype)
+            d = _plane_geometry(pos, gj, z, dtype)
+            wxy, wz_t, dists = _weight_tables(d)
 
             density = jnp.zeros_like(mass)
             for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-                w, _ = _tap_w_dist(d, tap)
-                p = jnp.clip(j + dx, 0, nx - 1)
+                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
+                p = jnp.clip(j + dx + ao, 0, L + 2 * ao - 1)
                 lo = h + oyz
                 plane = gmass[p, lo : lo + pc]
-                ok = ((j + dx) >= 0) & ((j + dx) < nx)
+                ok = (gj + dx >= 0) & (gj + dx <= nx - 1)
                 gm = jnp.where(ok, plane, 0.0)
                 density = density + w * gm[None, :]
 
             safe_density = jnp.where(occ, density, 1.0)
             volume = jnp.where(occ, mass / safe_density, 0.0)
             ratio = safe_density / rest_density
-            pressure = jnp.maximum(floor, stiffness * (ratio**power - 1.0))
+            if config.eos_power_static:
+                rp = pow_static(ratio, config.eos_power_static)
+            else:  # traced exponent: exp(p*log(x)) — runtime-tunable, slow
+                rp = ratio**power
+            pressure = jnp.maximum(floor, stiffness * (rp - 1.0))
             coef = -4.0 * dt * volume
             a_p = coef * (-pressure)
             b_mu = coef * viscosity
 
             for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-                w, dist = _tap_w_dist(d, tap)
-                w = jnp.where(occ, w, 0.0)
+                # volume (hence a_p/b_mu) is zero on empty slots — no mask
+                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
+                dist = [dists[a][tap[a]] for a in range(3)]
+                mv = _matvec9(C9, dist)
+                mvt = _matvec9_t(C9, dist)
+                Sd = [mv[a] + mvt[a] for a in range(3)]
                 if legacy_strain:
                     # 2D serial variant strain (MLSMPM2DFluid.cs:276-281):
                     # S = C + C^T - diag(C^T)
-                    Sd = _matvec9(C9, dist) + _matvec9_t(C9, dist)
-                    diag = jnp.stack([C9[0], C9[4], C9[8]])
-                    Sd = Sd - diag * dist
-                else:
-                    Sd = _matvec9(C9, dist) + _matvec9_t(C9, dist)
-                mom_c = w * (a_p * dist + b_mu * Sd)
+                    diag = [C9[0], C9[4], C9[8]]
+                    Sd = [Sd[a] - diag[a] * dist[a] for a in range(3)]
+                mom_c = jnp.stack(
+                    [w * (a_p * dist[a] + b_mu * Sd[a]) for a in range(3)]
+                )
                 mom_p = jnp.sum(mom_c, axis=1)
-                p = j + dx
+                p = j + dx + ao
+                ok = (gj + dx >= 0) & (gj + dx <= nx - 1)
+                if not shard:
+                    ok = (j + dx >= 0) & (j + dx < L)
+                else:
+                    p = jnp.clip(p, 0, L + 2 * ao - 1)
                 lo = h + oyz
 
-                @pl.when((p >= 0) & (p < nx))
+                @pl.when(ok)
                 def _(p=p, mom_p=mom_p, lo=lo):
                     gvel_o[p, :, lo : lo + pc] += mom_p
 
@@ -171,9 +209,14 @@ def _p2g_update_kernel(
     # Row-by-row, no jnp.stack: Mosaic cannot concatenate vectors whose lane
     # layouts carry different shift offsets (the momentum rows are halo-
     # offset slices), so each velocity row is computed and written alone.
-    @pl.when(t >= 3)
+    # sharded: only planes whose accumulated momentum is locally complete
+    # are updated (local a in [1+ao, L-2+ao]); the rest arrive by exchange
+    u_ok = (t >= 3) if not shard else (t >= 3 + 1) & (t - 3 <= L - 2)
+
+    @pl.when(u_ok)
     def _u_phase():
-        q = t - 3
+        q = t - 3 + ao  # accumulator plane index
+        gq = x0 + (t - 3).astype(dtype)  # global plane coordinate
         gm = gmass[pl.ds(q, 1), h : h + pc]  # [1, pc]
         has = gm > 0
         safe = jnp.where(has, gm, 1.0)
@@ -183,7 +226,7 @@ def _p2g_update_kernel(
         cy = idx // z
         cz = idx % z
         lo_b, hi_b = config.bc_band_lo, config.bc_band_hi
-        band_x = (q < lo_b) | (q > nx - 1 - hi_b)
+        band_x = (gq < float(lo_b)) | (gq > float(nx - 1 - hi_b))
         bands = [
             jnp.zeros_like(has) | band_x,  # scalar x-band broadcast
             (cy < lo_b) | (cy > config.grid_res[1] - 1 - hi_b),
@@ -230,22 +273,34 @@ def p2g_update_pallas(
     state,  # BucketState
     fp: FluidParams,
     config: SimConfig,
+    x0=None,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns gvel_pad [nx, 3, pc + 2h]: updated grid velocities with zeroed
-    halo columns — the exact input of fused._g2p_migrate_fused."""
+    """Returns gvel_pad: updated grid velocities with zeroed halo columns —
+    the exact input of fused._g2p_migrate_fused.
+
+    Unsharded (x0 None): state covers all nx planes; output [nx, 3, pc+2h].
+    Sharded (x0 = traced global plane coordinate of the local array's plane
+    0): state is a shard's padded slab of L planes; the output grows one
+    halo plane per side, [L+2, 3, pc+2h], and only the locally-complete
+    interior planes are grid-updated (parallel/domain.py exchanges the
+    rest from the neighbors)."""
     dim, k, c = state.pos.shape
     nx = config.grid_res[0]
-    pc = c // nx
+    z = config.grid_res[2]
+    pc = config.grid_res[1] * z
+    L = c // pc
     h = _halo(config)
     dtype = state.pos.dtype
+    shard = x0 is not None
+    ao = 1 if shard else 0
 
     def in_plane(lead):
         ndim = len(lead) + 2
 
         def index(t):
             idx = [0] * ndim
-            idx[-1] = jnp.clip(t, 0, nx - 1)
+            idx[-1] = jnp.clip(t, 0, L - 1)
             return tuple(idx)
 
         return pl.BlockSpec((*lead, k, pc), index, memory_space=pltpu.VMEM)
@@ -260,34 +315,37 @@ def p2g_update_pallas(
         jnp.asarray(fp.gravity[0], dtype),
         jnp.asarray(fp.gravity[1], dtype),
         jnp.asarray(fp.gravity[2], dtype),
+        jnp.asarray(0.0 if x0 is None else x0, dtype),
     ])
 
+    n_acc = L + 2 * ao
     (gvel,) = pl.pallas_call(
         functools.partial(
             _p2g_update_kernel,
             config=config,
             legacy_strain=config.legacy_strain,
+            shard=shard,
         ),
-        grid=(nx + 3,),
+        grid=(L + 3,),
         in_specs=[
             in_plane((3,)),
             in_plane((3,)),
             in_plane((9,)),
             in_plane(()),
-            pl.BlockSpec((9,), lambda t: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((10,), lambda t: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec(
-                (nx, 3, pc + 2 * h), lambda t: (0, 0, 0),
+                (n_acc, 3, pc + 2 * h), lambda t: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=(jax.ShapeDtypeStruct((nx, 3, pc + 2 * h), dtype),),
+        out_shape=(jax.ShapeDtypeStruct((n_acc, 3, pc + 2 * h), dtype),),
         scratch_shapes=[
             pltpu.VMEM((3, 3, k, pc), dtype),
             pltpu.VMEM((3, 9, k, pc), dtype),
             pltpu.VMEM((3, k, pc), dtype),
-            pltpu.VMEM((nx, pc + 2 * h), dtype),
+            pltpu.VMEM((n_acc, pc + 2 * h), dtype),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -300,4 +358,301 @@ def p2g_update_pallas(
         state.mass,
         scals,
     )
+    return gvel
+
+
+# ----------------------------------------------------------- sharded stages
+#
+# The one-shot kernel above cannot be locally exact near slab ends: a
+# particle's pass-2 force needs its DENSITY, which gathers grid mass from
+# one plane away — so exact force at plane g needs exact mass at g+-1,
+# i.e. particles from g-2..g+2. With 2-plane state halos that chain breaks.
+# The sharded path therefore splits at the natural exchange point: pass 1
+# accumulates mass+momentum (exact on [x0+1, x0+loc_x+2] of the padded
+# slab's accumulator), the neighbors' exact planes replace the stale ends,
+# and pass 2 + grid update then see exact density everywhere they need it.
+
+
+def _p2g1_shard_kernel(
+    pos_ref, vel_ref, C_ref, mass_ref, scal_ref,
+    gmass_o, gmom_o,
+    *, config: SimConfig,
+):
+    """Pass 1 only (A-phase of _p2g_update_kernel), halo-mode accumulators."""
+    t = pl.program_id(0)
+    L = pl.num_programs(0)
+    nx = config.grid_res[0]
+    z = config.grid_res[2]
+    pc = config.grid_res[1] * z
+    h = _halo(config)
+    dtype = pos_ref.dtype
+    x0 = scal_ref[9]
+
+    @pl.when(t == 0)
+    def _init():
+        gmass_o[:] = jnp.zeros_like(gmass_o)
+        gmom_o[:] = jnp.zeros_like(gmom_o)
+
+    mass = mass_ref[:]
+
+    @pl.when(jnp.max(mass) > 0)
+    def _occupied():
+        pos = pos_ref[:]
+        velp = vel_ref[:].astype(pos.dtype)
+        C9 = C_ref[:].astype(pos.dtype)
+        g = x0 + t.astype(dtype)
+        d = _plane_geometry(pos, g, z, dtype)
+        wxy, wz_t, dists = _weight_tables(d)
+
+        for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
+            w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
+            dist = [dists[a][tap[a]] for a in range(3)]
+            mass_c = w * mass
+            Cd = _matvec9(C9, dist)
+            mom_c = jnp.stack([mass_c * (velp[a] + Cd[a]) for a in range(3)])
+            m_p = jnp.sum(mass_c, axis=0)
+            mom_p = jnp.sum(mom_c, axis=1)
+            p = jnp.clip(t + dx + 1, 0, L + 1)
+            ok = (g + dx >= 0) & (g + dx <= float(nx - 1))
+            lo = h + oyz
+
+            @pl.when(ok)
+            def _(p=p, m_p=m_p, mom_p=mom_p, lo=lo):
+                gmass_o[p, lo : lo + pc] += m_p
+                gmom_o[p, :, lo : lo + pc] += mom_p
+
+
+def _p2g2u_shard_kernel(
+    pos_ref, C_ref, mass_ref, gmass_ref, scal_ref, gmom_in_ref,
+    gvel_o,
+    *, config: SimConfig, legacy_strain: bool,
+):
+    # gmom_in_ref is aliased onto gvel_o (input_output_aliases) — the pass-1
+    # momentum is accumulated into in place
+    """Pass 2 + grid update with EXACT (exchanged) grid mass: B for plane t
+    runs immediately (no lag — density needs no local accumulation), U for
+    plane t-2 once its force contributions are in. gvel_o arrives holding
+    the exchanged pass-1 momentum and is updated in place."""
+    t = pl.program_id(0)
+    L = pl.num_programs(0) - 2
+    nx = config.grid_res[0]
+    z = config.grid_res[2]
+    pc = config.grid_res[1] * z
+    h = _halo(config)
+    dtype = pos_ref.dtype
+
+    dt = scal_ref[0]
+    rest_density = scal_ref[1]
+    viscosity = scal_ref[2]
+    stiffness = scal_ref[3]
+    power = scal_ref[4]
+    floor = scal_ref[5]
+    x0 = scal_ref[9]
+
+    @pl.when(t < L)
+    def _b_phase():
+        mass = mass_ref[:]
+
+        @pl.when(jnp.max(mass) > 0)
+        def _occupied():
+            pos = pos_ref[:]
+            C9 = C_ref[:].astype(pos.dtype)
+            occ = mass > 0
+            gj = x0 + t.astype(dtype)
+            d = _plane_geometry(pos, gj, z, dtype)
+            wxy, wz_t, dists = _weight_tables(d)
+
+            density = jnp.zeros_like(mass)
+            for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
+                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
+                p = jnp.clip(t + dx + 1, 0, L + 1)
+                lo = h + oyz
+                plane = gmass_ref[p, lo : lo + pc]
+                ok = (gj + dx >= 0) & (gj + dx <= float(nx - 1))
+                gm = jnp.where(ok, plane, 0.0)
+                density = density + w * gm[None, :]
+
+            safe_density = jnp.where(occ, density, 1.0)
+            volume = jnp.where(occ, mass / safe_density, 0.0)
+            ratio = safe_density / rest_density
+            if config.eos_power_static:
+                rp = pow_static(ratio, config.eos_power_static)
+            else:
+                rp = ratio**power
+            pressure = jnp.maximum(floor, stiffness * (rp - 1.0))
+            coef = -4.0 * dt * volume
+            a_p = coef * (-pressure)
+            b_mu = coef * viscosity
+
+            for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
+                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
+                dist = [dists[a][tap[a]] for a in range(3)]
+                mv = _matvec9(C9, dist)
+                mvt = _matvec9_t(C9, dist)
+                Sd = [mv[a] + mvt[a] for a in range(3)]
+                if legacy_strain:
+                    diag = [C9[0], C9[4], C9[8]]
+                    Sd = [Sd[a] - diag[a] * dist[a] for a in range(3)]
+                mom_c = jnp.stack(
+                    [w * (a_p * dist[a] + b_mu * Sd[a]) for a in range(3)]
+                )
+                mom_p = jnp.sum(mom_c, axis=1)
+                p = jnp.clip(t + dx + 1, 0, L + 1)
+                ok = (gj + dx >= 0) & (gj + dx <= float(nx - 1))
+                lo = h + oyz
+
+                @pl.when(ok)
+                def _(p=p, mom_p=mom_p, lo=lo):
+                    gvel_o[p, :, lo : lo + pc] += mom_p
+
+    # U for accumulator plane a = t - 2 + 1, locally complete a in [2, L-1]
+    @pl.when((t >= 3) & (t - 2 <= L - 2))
+    def _u_phase():
+        q = t - 1  # accumulator index (= state plane (t-2) + 1)
+        gq = x0 + (t - 2).astype(dtype)
+        gm = gmass_ref[pl.ds(q, 1), h : h + pc]
+        has = gm > 0
+        safe = jnp.where(has, gm, 1.0)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, pc), 1)
+        cy = idx // z
+        cz = idx % z
+        lo_b, hi_b = config.bc_band_lo, config.bc_band_hi
+        band_x = (gq < float(lo_b)) | (gq > float(nx - 1 - hi_b))
+        bands = [
+            jnp.zeros_like(has) | band_x,
+            (cy < lo_b) | (cy > config.grid_res[1] - 1 - hi_b),
+            (cz < lo_b) | (cz > config.grid_res[2] - 1 - hi_b),
+        ]
+        for i in range(3):
+            v = gvel_o[pl.ds(q, 1), i, h : h + pc] / safe + dt * scal_ref[6 + i]
+            if config.bc == BC_SLIP:
+                v = jnp.where(bands[i], 0.0, v)
+            elif config.bc == BC_STICK:
+                v = jnp.where(bands[0] | bands[1] | bands[2], 0.0, v)
+            elif config.bc == BC_FRICTION:
+                for a in range(3):
+                    if a == i:
+                        v = jnp.where(bands[a], 0.0, v)
+                    else:
+                        v = v * jnp.where(bands[a], config.friction, 1.0)
+            else:
+                raise ValueError(f"unknown bc flavor: {config.bc}")
+            gvel_o[pl.ds(q, 1), i, h : h + pc] = jnp.where(has, v, 0.0)
+
+
+def _scals10(fp: FluidParams, dtype, x0) -> jax.Array:
+    return jnp.stack([
+        jnp.asarray(fp.dt, dtype),
+        jnp.asarray(fp.rest_density, dtype),
+        jnp.asarray(fp.dynamic_viscosity, dtype),
+        jnp.asarray(fp.eos_stiffness, dtype),
+        jnp.asarray(fp.eos_power, dtype),
+        jnp.asarray(fp.pressure_floor, dtype),
+        jnp.asarray(fp.gravity[0], dtype),
+        jnp.asarray(fp.gravity[1], dtype),
+        jnp.asarray(fp.gravity[2], dtype),
+        jnp.asarray(x0, dtype),
+    ])
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def p2g1_shard_pallas(state, fp, config: SimConfig, x0, interpret=False):
+    """Pass 1 over a padded slab of L planes -> (gmass [L+2, pcp],
+    gmom [L+2, 3, pcp]); exact on accumulator planes [2, L-1]."""
+    dim, k, c = state.pos.shape
+    z = config.grid_res[2]
+    pc = config.grid_res[1] * z
+    L = c // pc
+    h = _halo(config)
+    dtype = state.pos.dtype
+
+    def in_plane(lead):
+        ndim = len(lead) + 2
+
+        def index(t):
+            idx = [0] * ndim
+            idx[-1] = t
+            return tuple(idx)
+
+        return pl.BlockSpec((*lead, k, pc), index, memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_p2g1_shard_kernel, config=config),
+        grid=(L,),
+        in_specs=[
+            in_plane((3,)),
+            in_plane((3,)),
+            in_plane((9,)),
+            in_plane(()),
+            pl.BlockSpec((10,), lambda t: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((L + 2, pc + 2 * h), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L + 2, 3, pc + 2 * h), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L + 2, pc + 2 * h), dtype),
+            jax.ShapeDtypeStruct((L + 2, 3, pc + 2 * h), dtype),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+    )(state.pos, state.vel, state.C.reshape(9, k, c), state.mass,
+      _scals10(fp, dtype, x0))
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def p2g2u_shard_pallas(state, gmass, gmom, fp, config: SimConfig, x0,
+                       interpret=False):
+    """Pass 2 + grid update over a padded slab with EXACT exchanged gmass;
+    gmom arrives holding the exchanged pass-1 momentum and leaves as grid
+    velocity (exact on accumulator planes [2, L-1])."""
+    dim, k, c = state.pos.shape
+    z = config.grid_res[2]
+    pc = config.grid_res[1] * z
+    L = c // pc
+    h = _halo(config)
+    dtype = state.pos.dtype
+
+    def in_plane(lead):
+        ndim = len(lead) + 2
+
+        def index(t):
+            idx = [0] * ndim
+            idx[-1] = jnp.clip(t, 0, L - 1)
+            return tuple(idx)
+
+        return pl.BlockSpec((*lead, k, pc), index, memory_space=pltpu.VMEM)
+
+    fixed = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+
+    (gvel,) = pl.pallas_call(
+        functools.partial(
+            _p2g2u_shard_kernel,
+            config=config,
+            legacy_strain=config.legacy_strain,
+        ),
+        grid=(L + 2,),
+        in_specs=[
+            in_plane((3,)),
+            in_plane((9,)),
+            in_plane(()),
+            fixed((L + 2, pc + 2 * h)),
+            pl.BlockSpec((10,), lambda t: (0,), memory_space=pltpu.SMEM),
+            fixed((L + 2, 3, pc + 2 * h)),
+        ],
+        out_specs=(fixed((L + 2, 3, pc + 2 * h)),),
+        out_shape=(jax.ShapeDtypeStruct((L + 2, 3, pc + 2 * h), dtype),),
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+    )(state.pos, state.C.reshape(9, k, c), state.mass, gmass,
+      _scals10(fp, dtype, x0), gmom)
     return gvel

@@ -18,11 +18,37 @@ import numpy as np
 from ..core.params import FluidParams
 
 
-def eos_pressure(density: jax.Array, fp: FluidParams) -> jax.Array:
+def pow_static(x: jax.Array, p: float) -> jax.Array:
+    """x ** p for a STATIC exponent. Integer powers unroll to multiplies via
+    binary exponentiation — a traced `x ** p` lowers to exp(p * log(x)),
+    dozens of transcendental VPU ops per element. The multiply order is
+    fixed so the XLA engines and the Pallas kernels round identically
+    (slot-equality tests depend on it)."""
+    if float(p).is_integer() and 0 < p <= 32:
+        n = int(p)
+        result = None
+        base = x
+        while n:
+            if n & 1:
+                result = base if result is None else result * base
+            n >>= 1
+            if n:
+                base = base * base
+        return result
+    return x**p
+
+
+def eos_pressure(
+    density: jax.Array, fp: FluidParams, power_static: float = 0.0
+) -> jax.Array:
+    """Tait/Murnaghan pressure (p2g_2.glsl:94). `power_static` (from
+    SimConfig.eos_power_static) specializes the exponent at compile time;
+    0.0 keeps the fully runtime-tunable traced path."""
     ratio = density / fp.rest_density
+    rp = pow_static(ratio, power_static) if power_static else ratio**fp.eos_power
     return jnp.maximum(
         fp.pressure_floor,
-        fp.eos_stiffness * (ratio**fp.eos_power - 1.0),
+        fp.eos_stiffness * (rp - 1.0),
     )
 
 

@@ -512,3 +512,204 @@ def demo_sharded_step(n_devices: int) -> None:
     step = make_sharded_step(config, sconf, mesh, substeps=1)
     out = step(state, scene.fluid, ())
     np.asarray(out.pos)
+
+
+# --------------------------------------------------------------------------
+# Bucket-state sharding: the PRODUCTION Pallas kernels inside shard_map
+# --------------------------------------------------------------------------
+#
+# The bucket engine's plane-sweep kernels shard naturally along the sweep
+# axis: each device owns a slab of x-planes of the [.., K, C] bucket arrays
+# (C = nx * pc flat, plane-major). Per substep:
+#
+#   1. state halo exchange: 2 boundary planes per side via ppermute — enough
+#      for each shard to REDUNDANTLY compute its halo planes' G2P + zy
+#      migration (and their x-mover census), which makes the overflow-
+#      rejection decisions at the boundary bitwise identical on both sides
+#      without any merge step;
+#   2. kernel P (P2G x2 + grid update) over the padded slab in halo mode:
+#      accumulators grow one plane per side; only locally-complete planes
+#      are updated in-kernel;
+#   3. grid-velocity halo exchange: 2 planes per side (complete at the
+#      neighbor) replace the locally-incomplete ends;
+#   4. kernel F (G2P + tail + 3-axis migration) over the padded slab; the
+#      interior loc_x planes are exact and become the shard's new state.
+#
+# Counters (lost/deferred/cfl) accumulate interior-plane events only (the
+# kernels gate on plane ownership), and are psum-reduced once per frame.
+
+def _bucket_pspecs(axis: str):
+    from ..ops.bucketed import BucketState
+
+    return BucketState(
+        pos=P(None, None, axis),
+        vel=P(None, None, axis),
+        C=P(None, None, None, axis),
+        mass=P(None, axis),
+        ids=P(None, axis),
+        lost=P(),
+        cfl_clamped=P(),
+        deferred=P(),
+    )
+
+
+def _exchange_state_halo(state, config: SimConfig, n: int, axname: str):
+    """Build the padded slab: [left nbr's last 2 planes | local | right nbr's
+    first 2 planes]. Global-edge halos are dead (mass 0, ids -1)."""
+    import dataclasses as _dc
+
+    pc = _plane_cells(config)
+    ax = jax.lax.axis_index(axname)
+
+    def roll(x, shift):
+        return jax.lax.ppermute(x, axname, _perm(n, shift))
+
+    def pad(x, dead=None):
+        lo = roll(x[..., -2 * pc :], 1)  # from left neighbor
+        hi = roll(x[..., : 2 * pc], -1)  # from right neighbor
+        if dead is not None:
+            lo = jnp.where(ax == 0, dead, lo)
+            hi = jnp.where(ax == n - 1, dead, hi)
+        return jnp.concatenate([lo, x, hi], axis=-1)
+
+    return _dc.replace(
+        state,
+        pos=pad(state.pos),
+        vel=pad(state.vel),
+        C=pad(state.C),
+        mass=pad(state.mass, dead=jnp.zeros((), state.mass.dtype)),
+        ids=pad(state.ids, dead=jnp.full((), -1, jnp.int32)),
+    )
+
+
+def _exchange_gvel(gvel, loc_x: int, n: int, axname: str):
+    """Replace the locally-incomplete accumulator planes with the neighbors'
+    complete ones. gvel [loc_x+6, 3, pcp]; local plane a holds global plane
+    x0 - 3 + a; locally complete: a in [2, loc_x+3]."""
+    ax = jax.lax.axis_index(axname)
+
+    def roll(x, shift):
+        return jax.lax.ppermute(x, axname, _perm(n, shift))
+
+    lo = roll(gvel[loc_x : loc_x + 2], 1)  # left's (x0-3, x0-2)
+    hi = roll(gvel[4:6], -1)  # right's (x0+loc_x+1, x0+loc_x+2)
+    zero = jnp.zeros((), gvel.dtype)
+    lo = jnp.where(ax == 0, zero, lo)
+    hi = jnp.where(ax == n - 1, zero, hi)
+    return jnp.concatenate([lo, gvel[2 : loc_x + 4], hi], axis=0)
+
+
+def make_sharded_bucket_step(
+    config: SimConfig,
+    mesh: Mesh,
+    substeps: int | None = None,
+    axis: str = "x",
+    interpret: bool = False,
+):
+    """Jitted sharded frame step over BucketState (the production Pallas
+    path, kernels P + F per shard). Requires grid_res[0] % n_shards == 0 and
+    local slabs of >= 2 planes."""
+    import dataclasses as _dc
+
+    from ..ops.pallas.fused import _g2p_migrate_fused, _pack_scals
+    from ..ops.pallas.p2g_fused import p2g1_shard_pallas, p2g2u_shard_pallas
+
+    n = mesh.shape[axis]
+    assert config.grid_res[0] % n == 0
+    loc_x = config.grid_res[0] // n
+    assert loc_x >= 2, "slabs must hold >= 2 planes (the halo depth)"
+    pc = _plane_cells(config)
+    nsub = substeps if substeps is not None else config.substeps
+    pspecs = _bucket_pspecs(axis)
+
+    def substep_local(state, fp, interactions):
+        ax = jax.lax.axis_index(axis)
+        dtype = state.pos.dtype
+        x0f = (ax * loc_x - 2).astype(dtype)
+        padded = _exchange_state_halo(state, config, n, axis)
+        # pass 1 -> exchange mass+momentum halos (pass 2's DENSITY gathers
+        # grid mass one plane out, so exactness needs the neighbors' planes
+        # BEFORE the force pass) -> pass 2 + grid update -> exchange gvel
+        gmass, gmom = p2g1_shard_pallas(
+            padded, fp, config, x0f, interpret=interpret
+        )
+        gmass = _exchange_gvel(gmass, loc_x, n, axis)
+        gmom = _exchange_gvel(gmom, loc_x, n, axis)
+        gvel = p2g2u_shard_pallas(
+            padded, gmass, gmom, fp, config, x0f, interpret=interpret
+        )
+        gvel = _exchange_gvel(gvel, loc_x, n, axis)
+        scals = _pack_scals(fp, interactions, dtype, x0=x0f)
+        out = _g2p_migrate_fused(
+            padded, gvel, scals, config, len(interactions),
+            shard=True, interpret=interpret,
+        )
+        lo = 2 * pc
+        hi = (loc_x + 2) * pc
+        return _dc.replace(
+            out,
+            pos=out.pos[..., lo:hi],
+            vel=out.vel[..., lo:hi],
+            C=out.C[..., lo:hi],
+            mass=out.mass[..., lo:hi],
+            ids=out.ids[..., lo:hi],
+        )
+
+    def frame(state, fp, interactions):
+        def local(state, fp, interactions):
+            c0 = (state.lost, state.cfl_clamped, state.deferred)
+
+            def body(s, _):
+                return substep_local(s, fp, interactions), None
+
+            s, _ = jax.lax.scan(body, state, None, length=nsub)
+            # interior-gated per-shard counter deltas -> global sums
+            s = _dc.replace(
+                s,
+                lost=c0[0] + jax.lax.psum(s.lost - c0[0], axis),
+                cfl_clamped=c0[1] + jax.lax.psum(s.cfl_clamped - c0[1], axis),
+                deferred=c0[2] + jax.lax.psum(s.deferred - c0[2], axis),
+            )
+            return s
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(pspecs, P(), P()),
+            out_specs=pspecs,
+            # pallas_call outputs carry no varying-mesh-axes metadata
+            check_vma=False,
+        )(state, fp, interactions)
+
+    return jax.jit(frame, donate_argnums=(0,))
+
+
+def shard_bucket_state(bstate, mesh: Mesh, axis: str = "x"):
+    """device_put a (host/global) BucketState with slab sharding."""
+    specs = _bucket_pspecs(axis)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        bstate,
+        specs,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def demo_sharded_bucket_step(n_devices: int) -> None:
+    """Compile + run one tiny sharded-BUCKET step (the production Pallas
+    kernels inside shard_map) — the driver's dryrun_multichip entry.
+    Uses interpret-mode kernels on CPU meshes; real Mosaic otherwise."""
+    from ..models.scenes import fluid_3d
+    from ..ops import bucketed
+
+    devs = jax.devices()[:n_devices]
+    mesh = Mesh(np.array(devs), ("x",))
+    scene = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = scene.config.replace(substeps=1, bin_capacity=8)
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(scene.state)
+    interpret = devs[0].platform == "cpu"
+    step = make_sharded_bucket_step(config, mesh, substeps=1,
+                                    interpret=interpret)
+    out = step(shard_bucket_state(b0, mesh), scene.fluid, ())
+    assert int(out.lost) == 0
+    np.asarray(out.pos)

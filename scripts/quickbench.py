@@ -31,6 +31,8 @@ def main():
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     scene = benchmark_scene(n_target, bin_capacity=k)
     config, fluid = scene.config, scene.fluid
+    if os.environ.get("MPM_F32", "0") == "1":  # storage-dtype attribution
+        config = config.replace(storage_dtype="float32")
     n = scene.state.num_particles
     flags = {f: os.environ.get(f) for f in
              ("MPM_FUSED_GATE", "MPM_FUSED_NOMIG", "MPM_FUSED_NOG2P",

@@ -65,3 +65,27 @@ def test_cfl_clamp_keeps_invariant_and_counts():
     for a in range(3):
         d = np.floor(pos[a]) - cell[a][None, :]
         assert np.all(np.abs(d[occ]) < 0.5 + 1e-6), f"axis {a}: {np.abs(d[occ]).max()}"
+
+
+def test_bf16_storage_engines_match():
+    """bf16 vel/C storage: arithmetic stays f32 and rounding happens at the
+    same points in both engines, so XLA and fused stay slot-identical."""
+    config, fluid, state = _small()
+    config = config.replace(storage_dtype="bfloat16")
+    b = jax.jit(lambda s: bucketed.from_simstate(s, config))(state)
+    assert b.vel.dtype == jnp.bfloat16 and b.C.dtype == jnp.bfloat16
+    s_x, s_f = b, b
+    for _ in range(3):
+        s_x = jax.jit(lambda b, f: bucketed.substep(b, config, f, ()))(s_x, fluid)
+        s_f = fused.substep_fused(s_f, config, fluid, (), interpret=True)
+    assert s_f.vel.dtype == jnp.bfloat16 and s_f.C.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(s_x.ids), np.asarray(s_f.ids))
+    np.testing.assert_allclose(np.asarray(s_x.pos), np.asarray(s_f.pos), atol=1e-6)
+    # the engines' f32 intermediates differ by FMA-contraction choices, so
+    # values at a bf16 rounding boundary may land one ulp apart
+    np.testing.assert_allclose(
+        np.asarray(s_x.vel).astype(np.float32),
+        np.asarray(s_f.vel).astype(np.float32),
+        rtol=0.01, atol=1e-4,
+    )
+    assert int(s_f.lost) == int(s_x.lost) == 0

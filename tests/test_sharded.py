@@ -75,3 +75,41 @@ def test_sharded_fixed_point_bit_exact():
 
 def test_dryrun_entrypoint():
     domain.demo_sharded_step(4)
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_sharded_bucket_pallas_matches_fused(n_dev):
+    """The production Pallas kernels (P + F) inside shard_map: slab-sharded
+    bucket state with 2-plane state halos and grid-velocity exchange must
+    reproduce the single-device fused substep slot-for-slot (including the
+    overflow-rejection decisions at shard boundaries) and sum the counters
+    exactly once."""
+    from mpm_tpu.ops import bucketed
+    from mpm_tpu.ops.pallas import fused
+
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = sc.config.replace(bin_capacity=8)
+    fluid = sc.fluid.replace(gravity=jnp.asarray([0.0, -10.0, 0.0]))
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+
+    # single-device fused reference
+    s_ref = b0
+    for _ in range(3):
+        s_ref = fused.substep_fused(s_ref, config, fluid, (), interpret=True)
+
+    mesh = _mesh(n_dev)
+    step = domain.make_sharded_bucket_step(
+        config, mesh, substeps=3, interpret=True
+    )
+    s_sh = step(domain.shard_bucket_state(b0, mesh), fluid, ())
+
+    np.testing.assert_allclose(
+        np.asarray(s_sh.pos), np.asarray(s_ref.pos), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(s_sh.ids), np.asarray(s_ref.ids))
+    np.testing.assert_allclose(
+        np.asarray(s_sh.vel), np.asarray(s_ref.vel), atol=1e-5
+    )
+    assert int(s_sh.lost) == int(s_ref.lost) == 0
+    assert int(s_sh.deferred) == int(s_ref.deferred)
+    assert int(s_sh.cfl_clamped) == int(s_ref.cfl_clamped)
