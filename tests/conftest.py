@@ -10,15 +10,21 @@ first device use. Must run before jax is used anywhere.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# MPM_TPU_TESTS=1 leaves the real backend in place so the Mosaic smoke tests
+# (tests/test_tpu_smoke.py) can drive the actual chip; everything else skips
+_TPU_MODE = bool(os.environ.get("MPM_TPU_TESTS"))
+
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
 # BOTH updates are required, in this order — with only the env var (or only
 # num_cpu_devices), the device count silently stays 1 and every collective
 # degenerates to a single-device no-op
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
 # TPU/CPU compiles of the unrolled 3^D-tap graphs are slow; cache them
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
