@@ -196,6 +196,7 @@ def cmd_render(args):
         RenderConfig,
         SSFRParams,
         default_view,
+        make_bucket_renderer,
         make_renderer,
         write_png,
     )
@@ -208,33 +209,78 @@ def cmd_render(args):
         ssfr=SSFRParams(particle_sphere_radius=args.sphere_radius),
         sphere_render_ratio=args.sphere_render_ratio,
     )
-    renderer = make_renderer(rc)
     view = jnp.asarray(default_view(scene.config.grid_res))
     os.makedirs(args.out, exist_ok=True)
 
-    @jax.jit
-    def extract(state):
-        if mode in ("bucketed", "pallas"):
-            pos = state.pos.reshape(state.pos.shape[0], -1)
-            vel = state.vel.reshape(state.vel.shape[0], -1)
-            live = state.mass.reshape(-1) > 0
-            # dead slots sit parked at cell centers — push them behind the far
-            # plane by flagging zero velocity + offscreen depth via mask
-            pos = jnp.where(live, pos, -1e6)
-            return pos, jnp.linalg.norm(vel, axis=0)
-        return state.pos, jnp.linalg.norm(state.vel, axis=0)
+    bucket_path = (
+        mode in ("bucketed", "pallas")
+        and scene.config.dim == 3
+        and args.sphere_render_ratio >= 1.0
+    )
+    if bucket_path:
+        # Pallas cell-extraction render path (render/extract_kernel.py):
+        # per-cell nearest-particle reduction in VMEM before the z-buffer
+        renderer_b = make_bucket_renderer(
+            rc, interpret=jax.default_backend() == "cpu"
+        )
+    else:
+        renderer = make_renderer(rc)
 
+        @jax.jit
+        def extract(state):
+            if mode in ("bucketed", "pallas"):
+                pos = state.pos.reshape(state.pos.shape[0], -1)
+                vel = state.vel.reshape(state.vel.shape[0], -1)
+                live = state.mass.reshape(-1) > 0
+                # dead slots sit parked at cell centers — push them behind
+                # the far plane via offscreen mask
+                pos = jnp.where(live, pos, -1e6)
+                return pos, jnp.linalg.norm(vel.astype(jnp.float32), axis=0)
+            return state.pos, jnp.linalg.norm(state.vel, axis=0)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .utils.timing import FrameStats
+
+    stats = FrameStats()
     inter0, inter_fn = _parse_interactions(args, scene.config)
     t0 = time.perf_counter()
+    # PNG encode+write runs on a worker thread, overlapped with the next
+    # frame's device compute (the reference's render thread separation,
+    # SURVEY.md §2.5 host<->device async)
+    pool = ThreadPoolExecutor(max_workers=2)
+    pending = []
     for i in range(args.frames):
         state = step(state, scene.fluid, inter_fn(i))
-        pos, vmag = extract(state)
-        img = renderer(pos, vmag, view)
-        write_png(os.path.join(args.out, f"frame_{i:05d}.png"), np.asarray(img))
+        if bucket_path:
+            img = renderer_b(state, view)
+        else:
+            pos, vmag = extract(state)
+            img = renderer(pos, vmag, view)
+        host = np.asarray(img)
+        if args.hud:
+            from .render.hud import burn_in_hud
+
+            host = burn_in_hud(
+                host, stats, extra=f"N={scene.state.num_particles}"
+            )
+        pending.append(pool.submit(
+            write_png, os.path.join(args.out, f"frame_{i:05d}.png"), host
+        ))
+        if len(pending) > 2:
+            pending.pop(0).result()
+        stats.tick()
         if i == 0:
             print(f"first frame (compile): {time.perf_counter() - t0:.1f}s")
-    dt = time.perf_counter() - t0
-    print(f"{args.frames} frames -> {args.out} ({dt/args.frames*1e3:.0f} ms/frame avg incl. PNG IO)")
+    for f in pending:
+        f.result()
+    pool.shutdown()
+    s = stats.stats
+    print(
+        f"{args.frames} frames -> {args.out} "
+        f"(avg {s['avg_ms']:.0f} ms/frame excl. compile, "
+        f"min {s['min_ms']:.0f} max {s['max_ms']:.0f}, incl. PNG IO)"
+    )
 
 
 def cmd_info(args):
@@ -269,6 +315,12 @@ def main(argv=None):
     )
     p_r.add_argument("--sphere-radius", type=float, default=1.0)
     p_r.add_argument("--sphere-render-ratio", type=float, default=1.0)
+    p_r.add_argument(
+        "--hud",
+        action="store_true",
+        help="burn the FPS/frametime overlay into the frames (the "
+        "reference's F3 debug menu, addons/debug_menu)",
+    )
     p_r.set_defaults(fn=cmd_render)
 
     p_i = sub.add_parser("info", help="device/backend info")

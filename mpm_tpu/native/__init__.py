@@ -70,7 +70,7 @@ def available() -> bool:
     return _load() is not None
 
 
-def encode_png(img_u8: np.ndarray, compress_level: int = 6) -> bytes | None:
+def encode_png(img_u8: np.ndarray, compress_level: int = 1) -> bytes | None:
     """RGB8 [H, W, 3] -> PNG bytes, or None if the library is unavailable."""
     lib = _load()
     if lib is None:

@@ -43,6 +43,31 @@ inline uint8_t paeth(uint8_t a, uint8_t b, uint8_t c) {
   return c;
 }
 
+int finish_png(int w, int h, const uint8_t* z, size_t zlen, uint8_t** out,
+               size_t* out_len) {
+  std::vector<uint8_t> png;
+  png.reserve(zlen + 128);
+  const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+  png.insert(png.end(), sig, sig + 8);
+  uint8_t ihdr[13];
+  ihdr[0] = (w >> 24) & 0xff; ihdr[1] = (w >> 16) & 0xff;
+  ihdr[2] = (w >> 8) & 0xff;  ihdr[3] = w & 0xff;
+  ihdr[4] = (h >> 24) & 0xff; ihdr[5] = (h >> 16) & 0xff;
+  ihdr[6] = (h >> 8) & 0xff;  ihdr[7] = h & 0xff;
+  ihdr[8] = 8;   // bit depth
+  ihdr[9] = 2;   // color type RGB
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;
+  chunk(png, "IHDR", ihdr, 13);
+  chunk(png, "IDAT", z, zlen);
+  chunk(png, "IEND", nullptr, 0);
+
+  *out_len = png.size();
+  *out = static_cast<uint8_t*>(malloc(png.size()));
+  if (!*out) return -3;
+  memcpy(*out, png.data(), png.size());
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -56,9 +81,32 @@ int frameio_encode_png(const uint8_t* rgb, int w, int h, int compress_level,
   if (!rgb || w <= 0 || h <= 0 || !out || !out_len) return -1;
   const size_t stride = static_cast<size_t>(w) * 3;
 
-  // build filtered scanline stream
+  // build filtered scanline stream. Fast path (level <= 1, the frame-export
+  // default): "up" filter only — one subtraction per byte instead of the
+  // 4-way adaptive scoring, and smooth renders compress nearly as well.
   std::vector<uint8_t> raw;
   raw.reserve((stride + 1) * h);
+  if (compress_level <= 1) {
+    for (int y = 0; y < h; ++y) {
+      const uint8_t* row = rgb + y * stride;
+      const uint8_t* prev = y ? rgb + (y - 1) * stride : nullptr;
+      raw.push_back(prev ? 2 : 0);
+      if (!prev) {
+        raw.insert(raw.end(), row, row + stride);
+      } else {
+        size_t base = raw.size();
+        raw.resize(base + stride);
+        uint8_t* dst = raw.data() + base;
+        for (size_t i = 0; i < stride; ++i) dst[i] = uint8_t(row[i] - prev[i]);
+      }
+    }
+    uLongf bound = compressBound(static_cast<uLong>(raw.size()));
+    std::vector<uint8_t> z(bound);
+    if (compress2(z.data(), &bound, raw.data(), static_cast<uLong>(raw.size()),
+                  1) != Z_OK)
+      return -2;
+    return finish_png(w, h, z.data(), bound, out, out_len);
+  }
   std::vector<uint8_t> cand(stride);
   const uint8_t* prev = nullptr;
   for (int y = 0; y < h; ++y) {
@@ -101,29 +149,7 @@ int frameio_encode_png(const uint8_t* rgb, int w, int h, int compress_level,
   if (compress2(z.data(), &bound, raw.data(), static_cast<uLong>(raw.size()),
                 compress_level) != Z_OK)
     return -2;
-  z.resize(bound);
-
-  std::vector<uint8_t> png;
-  png.reserve(z.size() + 128);
-  const uint8_t sig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
-  png.insert(png.end(), sig, sig + 8);
-  uint8_t ihdr[13];
-  ihdr[0] = (w >> 24) & 0xff; ihdr[1] = (w >> 16) & 0xff;
-  ihdr[2] = (w >> 8) & 0xff;  ihdr[3] = w & 0xff;
-  ihdr[4] = (h >> 24) & 0xff; ihdr[5] = (h >> 16) & 0xff;
-  ihdr[6] = (h >> 8) & 0xff;  ihdr[7] = h & 0xff;
-  ihdr[8] = 8;   // bit depth
-  ihdr[9] = 2;   // color type RGB
-  ihdr[10] = ihdr[11] = ihdr[12] = 0;
-  chunk(png, "IHDR", ihdr, 13);
-  chunk(png, "IDAT", z.data(), z.size());
-  chunk(png, "IEND", nullptr, 0);
-
-  *out_len = png.size();
-  *out = static_cast<uint8_t*>(malloc(png.size()));
-  if (!*out) return -3;
-  memcpy(*out, png.data(), png.size());
-  return 0;
+  return finish_png(w, h, z.data(), bound, out, out_len);
 }
 
 // Convert a float32 linear-light image [h][w][3] to sRGB-ish uint8 in place

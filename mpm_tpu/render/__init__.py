@@ -6,8 +6,10 @@ from .pipeline import (
     RENDER_NONE,
     RENDER_VELOCITY_SPHERES,
     default_view,
+    make_bucket_renderer,
     make_renderer,
     render_frame,
+    render_frame_buckets,
 )
 from .ssfr import SSFRParams
 from .background import BackgroundScene
@@ -20,8 +22,10 @@ __all__ = [
     "BackgroundScene",
     "look_at",
     "default_view",
+    "make_bucket_renderer",
     "make_renderer",
     "render_frame",
+    "render_frame_buckets",
     "write_png",
     "RENDER_DEFAULT",
     "RENDER_VELOCITY_SPHERES",

@@ -99,6 +99,60 @@ def make_renderer(rc: RenderConfig) -> Callable:
     return jax.jit(partial(render_frame, rc=rc))
 
 
+def render_frame_buckets(
+    state,  # BucketState
+    view: jax.Array,
+    rc: RenderConfig,
+    cubemap_faces: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Bucket-state fast path: the Pallas extraction kernel reduces each
+    CELL to its nearest live particle before the z-buffer sort (K times
+    smaller; see render/extract_kernel.py), replacing the XLA extract +
+    per-slot argsort path. Same SSFR chain from the splat buffers on."""
+    from .extract_kernel import extract_cell_splats
+    from .splat import splat_cells
+
+    cam = rc.camera
+    bg_color, bg_depth = render_background(cam, view, rc.background)
+    if rc.mode == RENDER_NONE:
+        return bg_color
+
+    cells = extract_cell_splats(state, view, cam, interpret=interpret)
+    bufs = splat_cells(
+        cells,
+        cam,
+        sphere_radius=rc.ssfr.particle_sphere_radius,
+        max_radius_px=rc.max_radius_px,
+    )
+
+    if rc.mode == RENDER_VELOCITY_SPHERES:
+        fluid_color = jnp.stack(
+            [bufs.velocity / 10.0, jnp.zeros_like(bufs.velocity),
+             jnp.zeros_like(bufs.velocity)],
+            axis=-1,
+        )
+        return velocity_spheres_composite(
+            bg_color, bg_depth, bufs.depth, fluid_color
+        )
+
+    depth = blur_depth(bufs.depth, rc.ssfr, cam)
+    if rc.mode == RENDER_DEPTH_DEBUG or rc.ssfr.debug_draw_depth:
+        return depth_debug_image(depth, rc.ssfr)
+    sampler = make_cubemap_sampler(cubemap_faces)
+    color, _live = shade(
+        depth, bg_color, bg_depth, sampler, view[:3, :3], rc.ssfr, cam
+    )
+    return color
+
+
+def make_bucket_renderer(rc: RenderConfig, interpret: bool = False) -> Callable:
+    """Jitted bucket-state renderer: (bucket_state, view) -> frame."""
+    return jax.jit(
+        partial(render_frame_buckets, rc=rc, interpret=interpret)
+    )
+
+
 def default_view(config_grid_res=(64, 64, 64)) -> jax.Array:
     """A pleasant default camera: looking at the domain center from an
     elevated diagonal, like the reference's main camera start pose."""

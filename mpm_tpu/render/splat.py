@@ -117,6 +117,56 @@ def _dilate_spheres(
     return SplatBuffers(depth=best_d, velocity=best_v)
 
 
+def splat_cells(
+    cells: jax.Array,  # [4, C] from extract_kernel.extract_cell_splats
+    cam: Camera,
+    sphere_radius: float = 1.0,
+    max_radius_px: int = 6,
+) -> SplatBuffers:
+    """z-buffer + sphere dilation over per-CELL splat points (the fast path
+    for bucket-state renders; see extract_kernel.py).
+
+    The z-buffer is two scatter-mins instead of the particle path's two
+    argsorts + per-element gathers: (1) exact f32 depth; (2) a packed key
+    (high float-depth bits | 12-bit quantized velocity) whose winner
+    attributes the velocity color — velocity attribution may differ from
+    the exact depth winner within ~2^-11 relative depth, which is
+    invisible in the velocity coloring (depth_map.gdshader:87 divides by
+    10 for display)."""
+    from .extract_kernel import CELL_BG
+
+    h, w = cam.height, cam.width
+    px, py, depth, vel = cells[0], cells[1], cells[2], cells[3]
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    on = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (depth < CELL_BG)
+    pix = jnp.where(on, iy * w + ix, h * w)  # offscreen -> guard slot
+
+    d_img = (
+        jnp.full((h * w + 1,), BG_DEPTH, depth.dtype)
+        .at[pix]
+        .min(jnp.where(on, depth, BG_DEPTH))
+    )
+    # positive-float bit patterns sort like their values: the top 20 bits of
+    # the depth dominate the key, the low 12 carry quantized velocity
+    dbits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depth, 1e-6), jnp.int32
+    ) & ~jnp.int32(0xFFF)
+    qvel = jnp.clip(vel * 64.0, 0.0, 4095.0).astype(jnp.int32)
+    key = jnp.where(on, dbits | qvel, jnp.int32(0x7F7FFFFF))
+    k_img = (
+        jnp.full((h * w + 1,), jnp.int32(0x7F7FFFFF)).at[pix].min(key)
+    )
+    d = d_img[: h * w].reshape(h, w)
+    occ = d < BG_DEPTH
+    v = jnp.where(
+        occ, (k_img[: h * w].reshape(h, w) & 0xFFF).astype(depth.dtype) / 64.0,
+        0.0,
+    )
+    bufs = SplatBuffers(depth=jnp.where(occ, d, BG_DEPTH), velocity=v)
+    return _dilate_spheres(bufs, cam, sphere_radius, max_radius_px)
+
+
 def splat_particles(
     pos: jax.Array,  # [3, N] world positions (lane-major)
     vel_mag: jax.Array,  # [N] velocity magnitudes
