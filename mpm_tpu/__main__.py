@@ -39,6 +39,12 @@ def _common(p):
         "(MLSMPM3DFluidMultithreadGPU.cs:618-642, g2p.glsl:122-129)",
     )
     p.add_argument(
+        "--metrics",
+        default=None,
+        metavar="PATH",
+        help="append JSONL metrics (per-frame ms, counters, steps/s) here",
+    )
+    p.add_argument(
         "--orbit-sphere",
         action="store_true",
         help="scripted demo: a repulsion sphere orbiting the domain center, "
@@ -154,15 +160,25 @@ def cmd_run(args):
     print(f"scene={scene.name} N={n} grid={scene.config.grid_res} mode={mode}"
           + (f" interactions={len(inter0)}" if inter0 else ""))
 
+    from .utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(path=args.metrics)
     stats = FrameStats()
     t0 = time.perf_counter()
     state = step(state, scene.fluid, inter0)
     fence(state)
-    print(f"compile+first frame: {time.perf_counter() - t0:.1f}s")
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first frame: {compile_s:.1f}s")
+    metrics.log("compile", seconds=round(compile_s, 3), scene=scene.name,
+                mode=mode, n=n)
 
     for i in range(args.frames):
         state = step(state, scene.fluid, inter_fn(i))
         fence(state)  # honest frame pacing (see utils/timing.py)
+        if args.metrics:
+            s_ = stats.stats
+            metrics.log("frame", i=i, last_ms=round(s_["last_ms"], 3),
+                        avg_ms=round(s_["avg_ms"], 3))
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
             from .utils import checkpoint
 
@@ -179,9 +195,14 @@ def cmd_run(args):
         f"max={s['max_ms']:.2f} fps={s['fps']:.1f} -> {pps/1e6:.1f}M particle-steps/s"
     )
     if mode in ("bucketed", "pallas"):
-        print(f"lost: {int(np.asarray(state.lost))} "
-              f"deferred: {int(np.asarray(state.deferred))} "
-              f"cfl-clamped: {int(np.asarray(state.cfl_clamped))}")
+        lost = int(np.asarray(state.lost))
+        deferred = int(np.asarray(state.deferred))
+        cfl = int(np.asarray(state.cfl_clamped))
+        print(f"lost: {lost} deferred: {deferred} cfl-clamped: {cfl}")
+        metrics.log("counters", lost=lost, deferred=deferred, cfl_clamped=cfl)
+    metrics.log("summary", frames=args.frames, fps=round(s["fps"], 2),
+                particle_steps_per_sec=round(pps, 1))
+    metrics.close()
 
 
 def cmd_render(args):

@@ -254,3 +254,75 @@ SCENES = {
 
 def get_scene(name: str, **kw) -> Scene:
     return SCENES[name](**kw)
+
+
+def benchmark_scene_2d(n_target: int = 100_000, grid_res: int = 256) -> Scene:
+    """Config-2 ladder scene: 2D pool with friction walls at the BASELINE.md
+    scale (100k particles, 256^2), uniform per-cell packing on the exact
+    hydrostatic profile (same construction as the 3D benchmark scene; 2D
+    gravity is +y screen-down so the pool rests at high y)."""
+    m0 = 2
+    g, k_eos, gamma = 0.3, 30.0, 4.0  # stiff: bottom compression 1.5x ->
+    # max 3/cell, one slot of K=4 headroom (the whole 2D working set must
+    # fit VMEM, so K is the lever; see kernels2d.supported2d)
+    rho0 = float(m0)
+    wcols = grid_res - 6  # x cells [3, res-3)
+    height_rest = n_target / (m0 * wcols)
+
+    rows = []
+    placed = 0
+    xi = 0.0
+    while placed < n_target:
+        s = (1.0 + g * rho0 * max(height_rest - xi, 0.0) / k_eos) ** (1.0 / gamma)
+        m_r = int(np.clip(round(m0 * s), 1, 4))
+        take = min(m_r * wcols, n_target - placed)
+        rows.append((m_r, take))
+        placed += take
+        xi += m_r / m0
+
+    config = SimConfig(
+        grid_res=(grid_res, grid_res),
+        num_particles=n_target,
+        substeps=5,
+        bc=BC_FRICTION,
+        friction=0.5,
+        bc_band_lo=2,
+        bc_band_hi=3,
+        clamp_lo=1.0,
+        clamp_hi_offset=2.0,
+        wall_min=2.0,
+        wall_max_offset=3.0,
+        wall_stiffness=0.5,
+        legacy_strain=True,
+        bin_capacity=4,
+        eos_power_static=gamma,
+    )
+    fluid = FluidParams.create(
+        dim=2, dt=0.05, gravity=(0.0, g), rest_density=rho0,
+        eos_stiffness=k_eos, eos_power=gamma,
+    )
+    # sub-lattice per cell: m of 4 half-grid positions, rotating pattern
+    corners = np.asarray(
+        [[0.25, 0.25], [0.75, 0.25], [0.25, 0.75], [0.75, 0.75]], np.float32
+    )
+    gx = 3.0 + np.arange(wcols, dtype=np.float32)
+    rng = np.random.default_rng(777)
+    parts = []
+    y_floor = grid_res - 4  # pool builds upward (decreasing y) from here
+    for r, (m_r, take) in enumerate(rows):
+        nfull = take // m_r
+        rot = (np.arange(wcols) * 3 + r * 5) % 4
+        base = np.stack([gx, np.full_like(gx, y_floor - 1 - r)], -1)
+        sub = corners[(rot[:, None] + np.arange(m_r)[None, :]) % 4]
+        pts = (base[:, None, :] + sub)[:nfull].reshape(-1, 2)
+        rem = take - nfull * m_r
+        if rem:
+            pts = np.concatenate([pts, (base[nfull] + sub[nfull])[:rem]])
+        parts.append(pts)
+    pos = np.concatenate(parts, axis=0).astype(np.float32)
+    pos += rng.uniform(-0.04, 0.04, pos.shape).astype(np.float32)
+    assert pos.shape[0] == n_target
+    return Scene(f"bench2d_{n_target}", config, fluid, make_state(pos))
+
+
+SCENES["bench2d"] = benchmark_scene_2d

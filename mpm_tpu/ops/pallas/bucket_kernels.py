@@ -23,9 +23,13 @@ Kernels (one substep = A -> B -> XLA combine + update_grid -> D -> XLA tail
 
 Migration runs in Pallas too (migrate_kernels.py, kernel E).
 
-Grid-size bound: the VMEM-resident grid accumulator limits one chip/shard to
-num_cells * 16 B <= ~8 MB (~80^3); larger grids run through the sharded path
-(parallel/domain.py) whose per-shard slabs obey the bound.
+These per-pass kernels are now the FALLBACK path (perf-attribution knobs and
+configs outside the fused kernels' envelope): production 3D substeps run the
+fused kernels (p2g_fused.py kernel P + fused.py kernel F), 2D runs the
+whole-grid kernel (kernels2d.py). Grid-size bound for this path: the
+VMEM-resident grid accumulator gates at num_cells * 16 B <= 48 MB
+(pallas_supported below, ~144^3); larger grids run through the sharded path
+(parallel/domain.py) whose per-shard slabs obey the per-kernel bounds.
 """
 
 from __future__ import annotations

@@ -779,6 +779,13 @@ def substep_fused(
     interpret: bool = False,
 ) -> BucketState:
     """Full substep: P2G kernels (A/B) + XLA grid update + fused kernel F."""
+    if config.dim == 2:
+        from . import kernels2d
+
+        if kernels2d.supported2d(config, state.pos.shape[1]):
+            return kernels2d.substep2d(
+                state, config, fp, interactions, interpret=interpret
+            )
     if not fused_supported(config, state.pos.shape[1]):
         from .bucket_kernels import substep as substep_planes
 
