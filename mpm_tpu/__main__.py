@@ -233,6 +233,11 @@ def cmd_render(args):
     view = jnp.asarray(default_view(scene.config.grid_res))
     os.makedirs(args.out, exist_ok=True)
 
+    cubemap = None
+    if args.cubemap:
+        from .render.background import load_cubemap
+
+        cubemap = load_cubemap(args.cubemap)
     bucket_path = (
         mode in ("bucketed", "pallas")
         and scene.config.dim == 3
@@ -241,11 +246,20 @@ def cmd_render(args):
     if bucket_path:
         # Pallas cell-extraction render path (render/extract_kernel.py):
         # per-cell nearest-particle reduction in VMEM before the z-buffer
-        renderer_b = make_bucket_renderer(
-            rc, interpret=jax.default_backend() == "cpu"
-        )
+        import functools as _ft
+
+        from .render import render_frame_buckets
+
+        renderer_b = jax.jit(_ft.partial(
+            render_frame_buckets, rc=rc, cubemap_faces=cubemap,
+            interpret=jax.default_backend() == "cpu",
+        ))
     else:
-        renderer = make_renderer(rc)
+        import functools as _ft
+
+        from .render import render_frame
+
+        renderer = jax.jit(_ft.partial(render_frame, rc=rc, cubemap_faces=cubemap))
 
         @jax.jit
         def extract(state):
@@ -332,10 +346,17 @@ def main(argv=None):
     p_r.add_argument(
         "--render-mode",
         default="default",
-        choices=["default", "velocity_spheres", "depth_debug", "none"],
+        choices=["default", "velocity_spheres", "lit_spheres", "depth_debug", "none"],
     )
     p_r.add_argument("--sphere-radius", type=float, default=1.0)
     p_r.add_argument("--sphere-render-ratio", type=float, default=1.0)
+    p_r.add_argument(
+        "--cubemap",
+        default=None,
+        metavar="DIR",
+        help="6-face PNG cubemap directory for SSFR reflections (the "
+        "reference's assets/cubemap; *-1..6.png or px/nx/py/ny/pz/nz.png)",
+    )
     p_r.add_argument(
         "--hud",
         action="store_true",

@@ -415,59 +415,78 @@ def _fused_kernel(
             r_ids[rt0] = ids_ref[:]
             return
 
-        tA_pos[:, :, hm : hm + pc] = pos
-        tA_vel[:, :, hm : hm + pc] = vel
-        tA_C[:, :, hm : hm + pc] = Cmat
-        tA_mass[:, hm : hm + pc] = mass
-        tA_ids[:, hm : hm + pc] = ids_ref[:]
-
-        refsA = {"pos": tA_pos, "vel": tA_vel, "C": tA_C,
-                 "mass": tA_mass, "ids": tA_ids}
-
-        def write_B(name, kk, v):
-            ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
-                   "mass": tB_mass, "ids": tB_ids}[name]
-            if name in ("mass", "ids"):
-                ref[kk, hm : hm + pc] = v
-            else:
-                ref[:, kk, hm : hm + pc] = v
-
-        def bulk_B(name, v):
-            ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
-                   "mass": tB_mass, "ids": tB_ids}[name]
-            if name in ("mass", "ids"):
-                ref[:, hm : hm + pc] = v
-            else:
-                ref[:, :, hm : hm + pc] = v
-
-        def add_lost(v):
-            lost_ref[0, 0] += jnp.where(in_interior, v, 0)
-
-        def add_defer(v):
-            defer_ref[0, 0] += jnp.where(in_interior, v, 0)
-
-        _intra_phase(refsA, write_B, 2, z, hm, k, dtype, add_lost, add_defer,
-                     bulk_write=bulk_B)
-
         rt = jax.lax.rem(t, 3)
+        # zy-static fast path: when no particle crosses a z or y cell
+        # boundary in this plane, both intra-plane phases are the identity —
+        # the zy-settled state IS the tail output; skip the temp staging and
+        # both selects and write the ring directly (in a settled pool most
+        # planes take this path most substeps)
+        zy_mov = occ & (
+            (jnp.floor(pos[2]) != cz_f) | (jnp.floor(pos[1]) != cy_f)
+        )
+        zy_any = jnp.any(zy_mov) | jnp.logical_not(_GATE)
 
-        def write_ring(name, kk, v):
-            ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
-                   "mass": r_mass, "ids": r_ids}[name]
-            if name in ("mass", "ids"):
-                ref[rt, kk, :] = v
-            else:
-                ref[rt, :, kk, :] = v
+        @pl.when(jnp.logical_not(zy_any))
+        def _zy_static():
+            r_pos[rt] = pos
+            r_vel[rt] = vel
+            r_C[rt] = Cmat
+            r_mass[rt] = mass
+            r_ids[rt] = ids_ref[:]
 
-        def bulk_ring(name, v):
-            ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
-                   "mass": r_mass, "ids": r_ids}[name]
-            ref[rt] = v
+        @pl.when(zy_any)
+        def _zy_full():
+            tA_pos[:, :, hm : hm + pc] = pos
+            tA_vel[:, :, hm : hm + pc] = vel
+            tA_C[:, :, hm : hm + pc] = Cmat
+            tA_mass[:, hm : hm + pc] = mass
+            tA_ids[:, hm : hm + pc] = ids_ref[:]
 
-        refsB = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
-                 "mass": tB_mass, "ids": tB_ids}
-        _intra_phase(refsB, write_ring, 1, z, hm, k, dtype, add_lost,
-                     add_defer, bulk_write=bulk_ring)
+            refsA = {"pos": tA_pos, "vel": tA_vel, "C": tA_C,
+                     "mass": tA_mass, "ids": tA_ids}
+
+            def write_B(name, kk, v):
+                ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
+                       "mass": tB_mass, "ids": tB_ids}[name]
+                if name in ("mass", "ids"):
+                    ref[kk, hm : hm + pc] = v
+                else:
+                    ref[:, kk, hm : hm + pc] = v
+
+            def bulk_B(name, v):
+                ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
+                       "mass": tB_mass, "ids": tB_ids}[name]
+                if name in ("mass", "ids"):
+                    ref[:, hm : hm + pc] = v
+                else:
+                    ref[:, :, hm : hm + pc] = v
+
+            def add_lost(v):
+                lost_ref[0, 0] += jnp.where(in_interior, v, 0)
+
+            def add_defer(v):
+                defer_ref[0, 0] += jnp.where(in_interior, v, 0)
+
+            _intra_phase(refsA, write_B, 2, z, hm, k, dtype, add_lost,
+                         add_defer, bulk_write=bulk_B)
+
+            def write_ring(name, kk, v):
+                ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
+                       "mass": r_mass, "ids": r_ids}[name]
+                if name in ("mass", "ids"):
+                    ref[rt, kk, :] = v
+                else:
+                    ref[rt, :, kk, :] = v
+
+            def bulk_ring(name, v):
+                ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
+                       "mass": r_mass, "ids": r_ids}[name]
+                ref[rt] = v
+
+            refsB = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
+                     "mass": tB_mass, "ids": tB_ids}
+            _intra_phase(refsB, write_ring, 1, z, hm, k, dtype, add_lost,
+                         add_defer, bulk_write=bulk_ring)
 
         # x-mover census of the zy-settled plane, for overflow rejection in
         # the output phase (a left-mover's acceptance at plane j-1 needs the

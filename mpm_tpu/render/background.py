@@ -166,3 +166,44 @@ def render_background(
     # depth = view-space -z = t * (-dirs_v.z)
     depth = t_best * (-dirs_v[..., 2])
     return c_best, depth
+
+
+def load_cubemap(source) -> "jax.Array":
+    """Load a 6-face PNG cubemap into the [6, F, F, 3] float array the SSFR
+    sampler consumes (Godot face order +x, -x, +y, -y, +z, -z) — the
+    headless analogue of the reference's image-array cubemap
+    (screen_space_fluid_rendering.gd:71-83, assets/cubemap/
+    Cubemap_Sky_04-{1..6}.png).
+
+    `source` is either an explicit 6-path sequence in face order, or a
+    directory containing `<stem>-1.png .. <stem>-6.png` (the reference's
+    naming) or `{px,nx,py,ny,pz,nz}.png`."""
+    import glob
+    import os
+
+    import jax.numpy as jnp
+
+    from .image import read_png_rgb
+
+    if isinstance(source, (list, tuple)):
+        paths = list(source)
+    else:
+        godot = sorted(glob.glob(os.path.join(source, "*-[1-6].png")))
+        named = [
+            os.path.join(source, f"{n}.png")
+            for n in ("px", "nx", "py", "ny", "pz", "nz")
+        ]
+        if len(godot) == 6:
+            paths = godot
+        elif all(os.path.exists(p) for p in named):
+            paths = named
+        else:
+            raise FileNotFoundError(
+                f"no 6-face cubemap found in {source!r} (expected *-1..6.png "
+                "or px/nx/py/ny/pz/nz.png)"
+            )
+    faces = [np.asarray(read_png_rgb(p), np.float32) / 255.0 for p in paths]
+    shapes = {f.shape for f in faces}
+    if len(shapes) != 1 or faces[0].shape[0] != faces[0].shape[1]:
+        raise ValueError(f"cubemap faces must be square and equal: {shapes}")
+    return jnp.asarray(np.stack(faces))

@@ -27,6 +27,7 @@ from .ssfr import (
     SSFRParams,
     blur_depth,
     depth_debug_image,
+    lit_spheres_shade,
     shade,
     composite_threshold,
     velocity_spheres_composite,
@@ -34,6 +35,7 @@ from .ssfr import (
 
 RENDER_DEFAULT = "default"
 RENDER_VELOCITY_SPHERES = "velocity_spheres"
+RENDER_LIT_SPHERES = "lit_spheres"
 RENDER_DEPTH_DEBUG = "depth_debug"
 RENDER_NONE = "none"
 
@@ -71,7 +73,14 @@ def render_frame(
         sphere_radius=rc.ssfr.particle_sphere_radius,
         max_radius_px=rc.max_radius_px,
         sphere_render_ratio=rc.sphere_render_ratio,
+        with_normals=rc.mode == RENDER_LIT_SPHERES,
     )
+
+    if rc.mode == RENDER_LIT_SPHERES:
+        # lit billboard-sphere debug view (billboard_sphere.gdshader)
+        return lit_spheres_shade(
+            bufs, bg_color, bg_depth, view[:3, :3], rc.ssfr, cam
+        )
 
     if rc.mode == RENDER_VELOCITY_SPHERES:
         # velocity as red channel like the depth-map shader's albedo
@@ -124,7 +133,13 @@ def render_frame_buckets(
         cam,
         sphere_radius=rc.ssfr.particle_sphere_radius,
         max_radius_px=rc.max_radius_px,
+        with_normals=rc.mode == RENDER_LIT_SPHERES,
     )
+
+    if rc.mode == RENDER_LIT_SPHERES:
+        return lit_spheres_shade(
+            bufs, bg_color, bg_depth, view[:3, :3], rc.ssfr, cam
+        )
 
     if rc.mode == RENDER_VELOCITY_SPHERES:
         fluid_color = jnp.stack(

@@ -35,6 +35,10 @@ BG_DEPTH = 4000.0  # "no fluid here" sentinel, past the blur guard 3990
 class SplatBuffers(NamedTuple):
     depth: jax.Array  # [H, W] linear view depth (BG_DEPTH where empty)
     velocity: jax.Array  # [H, W] |vel| of nearest particle (0 where empty)
+    # sphere-local impostor offsets of the covering sphere (lit_spheres
+    # mode only; None otherwise): normal = (sx, -sy, sqrt(1-sx^2-sy^2))
+    sx: jax.Array | None = None
+    sy: jax.Array | None = None
 
 
 def _point_deposit(
@@ -77,9 +81,13 @@ def _dilate_spheres(
     cam: Camera,
     sphere_radius: float,
     max_radius_px: int,
+    with_normals: bool = False,
 ) -> SplatBuffers:
     """Expand point deposits into sphere impostor discs with analytic depth
-    (depth_map.gdshader:63-84), via bounded shifted-window mins."""
+    (depth_map.gdshader:63-84), via bounded shifted-window mins. With
+    `with_normals`, the covering sphere's local offsets (sx, sy) are
+    tracked per pixel for the lit-sphere debug view
+    (billboard_sphere.gdshader:46-66)."""
     h, w = cam.height, cam.width
     f = cam.focal_px
     pad = max_radius_px
@@ -90,8 +98,12 @@ def _dilate_spheres(
     r_px0 = jnp.where(bufs.depth < BG_DEPTH, jnp.minimum(r_px0, max_radius_px), 0.0)
     r0 = jnp.pad(r_px0, pad)
 
-    best_d = bufs.depth
+    # center pixels: their own sphere pole (normal straight at the camera)
+    center = bufs.depth < BG_DEPTH
+    best_d = jnp.where(center, bufs.depth - sphere_radius, bufs.depth)
     best_v = bufs.velocity
+    zeros = jnp.zeros_like(bufs.depth)
+    best_sx, best_sy = zeros, zeros
     for dy in range(-max_radius_px, max_radius_px + 1):
         for dx in range(-max_radius_px, max_radius_px + 1):
             if dx == 0 and dy == 0:
@@ -99,7 +111,8 @@ def _dilate_spheres(
             src_d = jax.lax.dynamic_slice(d0, (pad - dy, pad - dx), (h, w))
             src_v = jax.lax.dynamic_slice(v0, (pad - dy, pad - dx), (h, w))
             src_r = jax.lax.dynamic_slice(r0, (pad - dy, pad - dx), (h, w))
-            s2 = (dx * dx + dy * dy) / jnp.maximum(src_r * src_r, 1e-6)
+            inv_r = 1.0 / jnp.maximum(src_r, 1e-3)
+            s2 = (dx * dx + dy * dy) * inv_r * inv_r
             inside = s2 <= 1.0
             # analytic sphere surface: z closer by r*sqrt(1-s^2)
             cand = src_d - sphere_radius * jnp.sqrt(jnp.maximum(1.0 - s2, 0.0))
@@ -107,14 +120,12 @@ def _dilate_spheres(
             take = cand < best_d
             best_d = jnp.where(take, cand, best_d)
             best_v = jnp.where(take, src_v, best_v)
-    # center pixels also get their own sphere pole correction
-    center = bufs.depth < BG_DEPTH
-    best_d = jnp.where(
-        center & (bufs.depth - sphere_radius < best_d),
-        bufs.depth - sphere_radius,
-        best_d,
-    )
-    return SplatBuffers(depth=best_d, velocity=best_v)
+            if with_normals:
+                best_sx = jnp.where(take, dx * inv_r, best_sx)
+                best_sy = jnp.where(take, dy * inv_r, best_sy)
+    if not with_normals:
+        return SplatBuffers(depth=best_d, velocity=best_v)
+    return SplatBuffers(depth=best_d, velocity=best_v, sx=best_sx, sy=best_sy)
 
 
 def splat_cells(
@@ -122,6 +133,7 @@ def splat_cells(
     cam: Camera,
     sphere_radius: float = 1.0,
     max_radius_px: int = 6,
+    with_normals: bool = False,
 ) -> SplatBuffers:
     """z-buffer + sphere dilation over per-CELL splat points (the fast path
     for bucket-state renders; see extract_kernel.py).
@@ -164,7 +176,8 @@ def splat_cells(
         0.0,
     )
     bufs = SplatBuffers(depth=jnp.where(occ, d, BG_DEPTH), velocity=v)
-    return _dilate_spheres(bufs, cam, sphere_radius, max_radius_px)
+    return _dilate_spheres(bufs, cam, sphere_radius, max_radius_px,
+                           with_normals=with_normals)
 
 
 def splat_particles(
@@ -175,6 +188,7 @@ def splat_particles(
     sphere_radius: float = 1.0,
     max_radius_px: int = 6,
     sphere_render_ratio: float = 1.0,
+    with_normals: bool = False,
 ) -> SplatBuffers:
     """Full splat pass: the headless equivalent of the fluid depth camera's
     MultiMesh draw (SURVEY.md §3.3)."""
@@ -188,4 +202,5 @@ def splat_particles(
         idx = jnp.arange(n)
         keep = keep & ((idx % 100) + 1 <= sphere_render_ratio * 100.0)
     bufs = _point_deposit(px, py, depth, vel_mag, cam, keep)
-    return _dilate_spheres(bufs, cam, sphere_radius, max_radius_px)
+    return _dilate_spheres(bufs, cam, sphere_radius, max_radius_px,
+                           with_normals=with_normals)

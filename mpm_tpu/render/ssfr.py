@@ -238,3 +238,49 @@ def velocity_spheres_composite(
     into the main color (fluid_render_velocity_spheres.glsl:50-67)."""
     live = (fluid_depth <= FAR_GUARD) & (bg_depth >= fluid_depth)
     return jnp.where(live[..., None], fluid_color, bg_color)
+
+
+def lit_spheres_shade(
+    bufs,  # SplatBuffers with sx/sy populated
+    bg_color: jax.Array,
+    bg_depth: jax.Array,
+    view_rot: jax.Array,  # [3,3] world->view rotation
+    params: SSFRParams,
+    cam: Camera,
+) -> jax.Array:
+    """Lit billboard-sphere debug view (billboard_sphere.gdshader:46-88):
+    per-pixel impostor normal (sx, -sy, sqrt(1-s^2)) Rodrigues-rotated
+    toward the per-pixel view direction, diffuse light() =
+    clamp(dot(N, L), 0, 1) * light_color / pi on a uniform sphere color,
+    composited depth-tested over the background."""
+    from .camera import screen_to_view_dir
+
+    s2 = jnp.clip(bufs.sx**2 + bufs.sy**2, 0.0, 1.0)
+    n0 = jnp.stack(
+        [bufs.sx, -bufs.sy, jnp.sqrt(1.0 - s2)], axis=-1
+    )  # [H, W, 3]
+
+    # Rodrigues rotation of the billboard frame's +z onto VIEW (the
+    # fragment-to-camera direction): v = cross(z, VIEW), c = VIEW.z
+    view_dir = -screen_to_view_dir(cam)  # fragment -> camera
+    vx = -view_dir[..., 1]
+    vy = view_dir[..., 0]
+    c = view_dir[..., 2]
+    s2v = jnp.maximum(vx * vx + vy * vy, 1e-12)
+    k = (1.0 - c) / s2v
+    # rot @ n0 expanded for v = (vx, vy, 0)
+    nx, ny, nz = n0[..., 0], n0[..., 1], n0[..., 2]
+    rx = nx * (1.0 - k * vy * vy) + ny * (k * vx * vy) + nz * vy
+    ry = nx * (k * vx * vy) + ny * (1.0 - k * vx * vx) - nz * vx
+    rz = -nx * vy + ny * vx + nz * c
+    normal = jnp.stack([rx, ry, rz], axis=-1)
+
+    light_v = view_rot @ np.asarray(params.light_dir, np.float32)
+    to_light = -light_v / np.linalg.norm(np.asarray(params.light_dir))
+    ndotl = jnp.clip(jnp.sum(normal * to_light, axis=-1), 0.0, 1.0)
+    sphere_color = np.asarray([0.35, 0.55, 0.95], np.float32)
+    ambient = 0.25
+    lit = (ambient + ndotl[..., None] / np.pi * 2.2) * sphere_color
+
+    live = (bufs.depth < BG_DEPTH) & (bufs.depth < bg_depth)
+    return jnp.where(live[..., None], lit, bg_color)
