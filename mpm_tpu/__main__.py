@@ -39,6 +39,25 @@ def _common(p):
         "(MLSMPM3DFluidMultithreadGPU.cs:618-642, g2p.glsl:122-129)",
     )
     p.add_argument(
+        "--fluid",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="override a runtime-tunable fluid parameter (dt, gravity, "
+        "rest_density, dynamic_viscosity, eos_stiffness, eos_power, "
+        "pressure_floor) — traced push-constant analogue, no recompile "
+        "(MLSMPM3DFluidMultithreadGPU.cs:444-503); repeatable",
+    )
+    p.add_argument(
+        "--flip-gravity-at",
+        type=int,
+        default=0,
+        metavar="FRAME",
+        help="invert gravity at this frame — demonstrates mid-run parameter "
+        "mutation without recompilation (the reference's settings panel, "
+        "main_ui.tscn:60-77)",
+    )
+    p.add_argument(
         "--metrics",
         default=None,
         metavar="PATH",
@@ -50,6 +69,29 @@ def _common(p):
         help="scripted demo: a repulsion sphere orbiting the domain center, "
         "moved every frame (traced push-constant analogue; no recompiles)",
     )
+
+
+def _apply_fluid_overrides(args, fluid):
+    """CLI overrides + per-frame mutation of traced FluidParams (the
+    reference's UpdatePushConstants path). Returns (fluid0, fluid_fn)."""
+    import numpy as np
+
+    for spec in args.fluid:
+        key, _, val = spec.partition("=")
+        if not hasattr(fluid, key):
+            raise SystemExit(f"unknown fluid parameter {key!r}")
+        cur = getattr(fluid, key)
+        arr = np.asarray([float(v) for v in val.split(",")], np.float32)
+        fluid = fluid.replace(**{key: arr.reshape(np.asarray(cur).shape)})
+
+    flip = args.flip_gravity_at
+
+    def fluid_fn(frame):
+        if flip and frame >= flip:
+            return fluid.replace(gravity=-fluid.gravity)
+        return fluid
+
+    return fluid, fluid_fn
 
 
 def _parse_interactions(args, config):
@@ -157,6 +199,8 @@ def cmd_run(args):
     n = scene.state.num_particles
     substeps = args.substeps or scene.config.substeps
     inter0, inter_fn = _parse_interactions(args, scene.config)
+    fluid0, fluid_fn = _apply_fluid_overrides(args, scene.fluid)
+    scene = scene._replace(fluid=fluid0)
     print(f"scene={scene.name} N={n} grid={scene.config.grid_res} mode={mode}"
           + (f" interactions={len(inter0)}" if inter0 else ""))
 
@@ -173,7 +217,7 @@ def cmd_run(args):
                 mode=mode, n=n)
 
     for i in range(args.frames):
-        state = step(state, scene.fluid, inter_fn(i))
+        state = step(state, fluid_fn(i), inter_fn(i))
         fence(state)  # honest frame pacing (see utils/timing.py)
         if args.metrics:
             s_ = stats.stats
@@ -223,6 +267,8 @@ def cmd_render(args):
     )
 
     scene, step, state, mode = _build(args)
+    fluid0, fluid_fn = _apply_fluid_overrides(args, scene.fluid)
+    scene = scene._replace(fluid=fluid0)
     cam = Camera(width=args.width, height=args.height)
     rc = RenderConfig(
         camera=cam,
@@ -286,7 +332,7 @@ def cmd_render(args):
     pool = ThreadPoolExecutor(max_workers=2)
     pending = []
     for i in range(args.frames):
-        state = step(state, scene.fluid, inter_fn(i))
+        state = step(state, fluid_fn(i), inter_fn(i))
         if bucket_path:
             img = renderer_b(state, view)
         else:
