@@ -43,3 +43,32 @@ def test_mosaic_flagship_substep():
     for a in range(3):
         d = np.floor(pos[a]) - cell[a][None, :]
         assert np.abs(d[occ]).max() < 0.5 + 1e-6
+
+
+def test_mosaic_sharded_kernels_compile():
+    """The SHARD-mode kernel variants (p2g1/p2g2u stages + F with global
+    offsets and gvel halos) must compile under real Mosaic — the CPU suite
+    only exercises them in interpret mode. A 1-device mesh runs the full
+    sharded step on the chip."""
+    from jax.sharding import Mesh
+
+    from mpm_tpu.models.scenes import fluid_3d
+    from mpm_tpu.ops import bucketed
+    from mpm_tpu.parallel import domain
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/.cache/jax_comp_cache"
+    )
+    sc = fluid_3d(grid_res=32, box=16.0, spacing=0.8)
+    config = sc.config.replace(substeps=2, bin_capacity=8)
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+    n0 = int(np.sum(np.asarray(b0.mass) > 0))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("x",))
+    step = domain.make_sharded_bucket_step(
+        config, mesh, substeps=2, interpret=False
+    )
+    out = step(domain.shard_bucket_state(b0, mesh), sc.fluid, ())
+    pos = np.asarray(out.pos)
+    assert np.all(np.isfinite(pos))
+    assert int(out.lost) == 0
+    assert int((np.asarray(out.mass) > 0).sum()) == n0
