@@ -333,20 +333,67 @@ def _fused_kernel(
         gf = x0 + t.astype(dtype)  # global plane coordinate
         d = _plane_geometry(pos, gf, z, dtype)
 
+        # Separable-moment G2P: factor the 27-tap gather over axes
+        # (vel = Σ wx wy wz gv;  B_ab = Σ w gv_a dist_b) — contract z first
+        # into two moments (S0 = Σ wz gv, S1 = Σ wz distz gv), then y into
+        # three, then x. ~2.3x fewer VPU ops than the naive per-tap loop
+        # (g2p.glsl:73-108 computes the same sums tap-by-tap).
+        views = {-1: gv_m_ref, 0: gv_c_ref, 1: gv_p_ref}
+        z_axis_w = [bspline.axis_weight(i, d[2]) for i in range(3)]
+        y_axis_w = [bspline.axis_weight(i, d[1]) for i in range(3)]
+        x_axis_w = [bspline.axis_weight(i, d[0]) for i in range(3)]
+        dists = [[float(i - 1) - d[a] for i in range(3)] for a in range(3)]
         vel = jnp.zeros((3, k, pc), dtype)
         B = jnp.zeros((9, k, pc), dtype)
-        views = {-1: gv_m_ref, 0: gv_c_ref, 1: gv_p_ref}
-        wxy, wz_t, dists = _weight_tables(d)
-        for tap, (dx, oyz) in ([] if _NOG2P else list(zip(_TAPS3, _tap_parts(config)))):
-            w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
-            dist = [dists[a][tap[a]] for a in range(3)]
-            lo = h + oyz
-            plane = views[dx][0, :, lo : lo + pc]  # [3, pc]
-            ok = (gf + dx >= 0) & (gf + dx <= float(nx - 1))
-            gv = jnp.where(ok, plane, 0.0)
-            wv = w[None] * gv[:, None, :]  # [3, kb, pc]
-            vel = vel + wv
-            B = B + jnp.stack([wv[a] * dist[b] for a in range(3) for b in range(3)])
+        if not _NOG2P:
+            T = {}  # per dx: [T0(3), T1y(3), T1z(3)]
+            for tx in range(3):
+                dx = tx - 1
+                ok = (gf + dx >= 0) & (gf + dx <= float(nx - 1))
+                T0 = [jnp.zeros((k, pc), dtype) for _ in range(3)]
+                T1y = [jnp.zeros((k, pc), dtype) for _ in range(3)]
+                T1z = [jnp.zeros((k, pc), dtype) for _ in range(3)]
+                for ty in range(3):
+                    wy = y_axis_w[ty]
+                    wyd = wy * dists[1][ty]
+                    S0 = [jnp.zeros((k, pc), dtype) for _ in range(3)]
+                    S1 = [jnp.zeros((k, pc), dtype) for _ in range(3)]
+                    for tz in range(3):
+                        wz = z_axis_w[tz]
+                        wzd = wz * dists[2][tz]
+                        lo = h + (ty - 1) * z + (tz - 1)
+                        plane = views[dx][0, :, lo : lo + pc]  # [3, pc]
+                        gv = jnp.where(ok, plane, 0.0)
+                        for a in range(3):
+                            gva = gv[a][None, :]
+                            S0[a] = S0[a] + wz * gva
+                            S1[a] = S1[a] + wzd * gva
+                    for a in range(3):
+                        T0[a] = T0[a] + wy * S0[a]
+                        T1y[a] = T1y[a] + wyd * S0[a]
+                        T1z[a] = T1z[a] + wy * S1[a]
+                T[tx] = (T0, T1y, T1z)
+            vel_rows = []
+            B_rows = [None] * 9
+            for a in range(3):
+                v = None
+                bx = None
+                by = None
+                bz = None
+                for tx in range(3):
+                    wx = x_axis_w[tx]
+                    wxd = wx * dists[0][tx]
+                    T0, T1y, T1z = T[tx]
+                    v = wx * T0[a] if v is None else v + wx * T0[a]
+                    bx = wxd * T0[a] if bx is None else bx + wxd * T0[a]
+                    by = wx * T1y[a] if by is None else by + wx * T1y[a]
+                    bz = wx * T1z[a] if bz is None else bz + wx * T1z[a]
+                vel_rows.append(v)
+                B_rows[3 * a + 0] = bx
+                B_rows[3 * a + 1] = by
+                B_rows[3 * a + 2] = bz
+            vel = jnp.stack(vel_rows)
+            B = jnp.stack(B_rows)
         occ3 = occ[None]
         vel = jnp.where(occ3, vel, 0.0)
         Cmat = jnp.where(occ3, 4.0 * B, 0.0)

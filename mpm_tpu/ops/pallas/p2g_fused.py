@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...core.params import BC_FRICTION, BC_SLIP, BC_STICK, FluidParams, SimConfig
 from ..stress import pow_static
+from .. import bspline
 from .bucket_kernels import (
     _TAPS3,
     _halo,
@@ -64,6 +65,93 @@ def _matvec9_t(C9, v):
         C9[i] * v[0] + C9[3 + i] * v[1] + C9[6 + i] * v[2]
         for i in range(3)
     ]
+
+
+
+
+def _pass1_moments(d, mass, velp, C9):
+    """Separable-moment decomposition of the pass-1 scatter: the tap
+    contribution factorizes as  q_t[a] = b[a] + sum_j t_j * mc[a][j]  with
+    mc = mass*C and b = mass*v - mc @ (1 + d)  (dist_j(t) = t_j - (1+d_j)),
+    so the 27 taps share per-axis partial products (~1.6x fewer VPU ops
+    than the naive per-tap loop; p2g_1.glsl:56-93 computes the same sums
+    tap-by-tap)."""
+    mc = [[mass * C9[3 * a + j] for j in range(3)] for a in range(3)]
+    b = [
+        mass * velp[a]
+        - mc[a][0] * (1.0 + d[0])
+        - mc[a][1] * (1.0 + d[1])
+        - mc[a][2] * (1.0 + d[2])
+        for a in range(3)
+    ]
+    return b, mc
+
+
+def _scatter_pass1(d, mass, velp, C9, z, emit):
+    """emit(tx, ty, tz, m_p [pc], mom_p [3, pc]) for each tap, with the
+    K-axis already reduced."""
+    wxs = [bspline.axis_weight(i, d[0]) for i in range(3)]
+    wys = [bspline.axis_weight(i, d[1]) for i in range(3)]
+    wzs = [bspline.axis_weight(i, d[2]) for i in range(3)]
+    b, mc = _pass1_moments(d, mass, velp, C9)
+    for tz in range(3):
+        wz = wzs[tz]
+        Z0 = wz * mass
+        Zq = [wz * b[a] + (wz * float(tz)) * mc[a][2] for a in range(3)]
+        Zc0 = [wz * mc[a][0] for a in range(3)]
+        Zc1 = [wz * mc[a][1] for a in range(3)]
+        for ty in range(3):
+            wy = wys[ty]
+            Y0 = wy * Z0
+            Yq = [wy * Zq[a] + (wy * float(ty)) * Zc1[a] for a in range(3)]
+            Yc0 = [wy * Zc0[a] for a in range(3)]
+            for tx in range(3):
+                wx = wxs[tx]
+                m_p = jnp.sum(wx * Y0, axis=0)
+                mom_p = jnp.stack([
+                    jnp.sum(wx * Yq[a] + (wx * float(tx)) * Yc0[a], axis=0)
+                    for a in range(3)
+                ])
+                emit(tx, ty, tz, m_p, mom_p)
+
+
+def _scatter_pass2(d, a_p, b_mu, C9, legacy_strain, emit):
+    """Pass-2 force scatter, same factorization: contribution
+    w * (a_p*dist + b_mu*S@dist) = w * (M @ dist) with M = a_p*I + b_mu*S;
+    q_t = b + sum_j t_j * M[:, j], b = -M @ (1 + d)."""
+    wxs = [bspline.axis_weight(i, d[0]) for i in range(3)]
+    wys = [bspline.axis_weight(i, d[1]) for i in range(3)]
+    wzs = [bspline.axis_weight(i, d[2]) for i in range(3)]
+    # S = C + C^T (minus diag(C^T) in the 2D-legacy form)
+    S = [[C9[3 * a + j] + C9[3 * j + a] for j in range(3)] for a in range(3)]
+    if legacy_strain:
+        for a in range(3):
+            S[a][a] = S[a][a] - C9[3 * a + a]
+    M = [
+        [b_mu * S[a][j] + (a_p if a == j else 0.0) for j in range(3)]
+        for a in range(3)
+    ]
+    b = [
+        -(M[a][0] * (1.0 + d[0]) + M[a][1] * (1.0 + d[1])
+          + M[a][2] * (1.0 + d[2]))
+        for a in range(3)
+    ]
+    for tz in range(3):
+        wz = wzs[tz]
+        Zq = [wz * b[a] + (wz * float(tz)) * M[a][2] for a in range(3)]
+        Zc0 = [wz * M[a][0] for a in range(3)]
+        Zc1 = [wz * M[a][1] for a in range(3)]
+        for ty in range(3):
+            wy = wys[ty]
+            Yq = [wy * Zq[a] + (wy * float(ty)) * Zc1[a] for a in range(3)]
+            Yc0 = [wy * Zc0[a] for a in range(3)]
+            for tx in range(3):
+                wx = wxs[tx]
+                mom_p = jnp.stack([
+                    jnp.sum(wx * Yq[a] + (wx * float(tx)) * Yc0[a], axis=0)
+                    for a in range(3)
+                ])
+                emit(tx, ty, tz, mom_p)
 
 
 def _p2g_update_kernel(
@@ -112,32 +200,23 @@ def _p2g_update_kernel(
             r_C[rt] = C9
             g = x0 + t.astype(dtype)  # global plane coordinate
             d = _plane_geometry(pos, g, z, dtype)
-            wxy, wz_t, dists = _weight_tables(d)
 
-            for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
-                dist = [dists[a][tap[a]] for a in range(3)]
-                # no occupancy mask needed: empty slots have mass == 0, so
-                # mass_c (and everything downstream) is already zero
-                mass_c = w * mass
-                Cd = _matvec9(C9, dist)
-                mom_c = jnp.stack(
-                    [mass_c * (velp[a] + Cd[a]) for a in range(3)]
-                )
-                m_p = jnp.sum(mass_c, axis=0)
-                mom_p = jnp.sum(mom_c, axis=1)
+            def emit1(tx, ty, tz, m_p, mom_p):
+                dx = tx - 1
                 p = t + dx + ao
                 ok = (g + dx >= 0) & (g + dx <= nx - 1)
                 if not shard:
                     ok = (t + dx >= 0) & (t + dx < L)
                 else:
                     p = jnp.clip(p, 0, L + 2 * ao - 1)
-                lo = h + oyz
+                lo = h + (ty - 1) * z + (tz - 1)
 
                 @pl.when(ok)
                 def _(p=p, m_p=m_p, mom_p=mom_p, lo=lo):
                     gmass[p, lo : lo + pc] += m_p
                     gvel_o[p, :, lo : lo + pc] += mom_p
+
+            _scatter_pass1(d, mass, velp, C9, z, emit1)
 
     # ---- B-phase: density + P2G pass 2 for plane j = t - 2 ----
     @pl.when((t >= 2) & (t - 2 < L))
@@ -177,33 +256,22 @@ def _p2g_update_kernel(
             a_p = coef * (-pressure)
             b_mu = coef * viscosity
 
-            for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
+            def emit2(tx, ty, tz, mom_p):
                 # volume (hence a_p/b_mu) is zero on empty slots — no mask
-                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
-                dist = [dists[a][tap[a]] for a in range(3)]
-                mv = _matvec9(C9, dist)
-                mvt = _matvec9_t(C9, dist)
-                Sd = [mv[a] + mvt[a] for a in range(3)]
-                if legacy_strain:
-                    # 2D serial variant strain (MLSMPM2DFluid.cs:276-281):
-                    # S = C + C^T - diag(C^T)
-                    diag = [C9[0], C9[4], C9[8]]
-                    Sd = [Sd[a] - diag[a] * dist[a] for a in range(3)]
-                mom_c = jnp.stack(
-                    [w * (a_p * dist[a] + b_mu * Sd[a]) for a in range(3)]
-                )
-                mom_p = jnp.sum(mom_c, axis=1)
+                dx = tx - 1
                 p = j + dx + ao
                 ok = (gj + dx >= 0) & (gj + dx <= nx - 1)
                 if not shard:
                     ok = (j + dx >= 0) & (j + dx < L)
                 else:
                     p = jnp.clip(p, 0, L + 2 * ao - 1)
-                lo = h + oyz
+                lo = h + (ty - 1) * z + (tz - 1)
 
                 @pl.when(ok)
                 def _(p=p, mom_p=mom_p, lo=lo):
                     gvel_o[p, :, lo : lo + pc] += mom_p
+
+            _scatter_pass2(d, a_p, b_mu, C9, legacy_strain, emit2)
 
     # ---- U-phase: grid update for plane q = t - 3 (update_grid.glsl) ----
     # Row-by-row, no jnp.stack: Mosaic cannot concatenate vectors whose lane
@@ -402,24 +470,19 @@ def _p2g1_shard_kernel(
         C9 = C_ref[:].astype(pos.dtype)
         g = x0 + t.astype(dtype)
         d = _plane_geometry(pos, g, z, dtype)
-        wxy, wz_t, dists = _weight_tables(d)
 
-        for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-            w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
-            dist = [dists[a][tap[a]] for a in range(3)]
-            mass_c = w * mass
-            Cd = _matvec9(C9, dist)
-            mom_c = jnp.stack([mass_c * (velp[a] + Cd[a]) for a in range(3)])
-            m_p = jnp.sum(mass_c, axis=0)
-            mom_p = jnp.sum(mom_c, axis=1)
+        def emit1(tx, ty, tz, m_p, mom_p):
+            dx = tx - 1
             p = jnp.clip(t + dx + 1, 0, L + 1)
             ok = (g + dx >= 0) & (g + dx <= float(nx - 1))
-            lo = h + oyz
+            lo = h + (ty - 1) * z + (tz - 1)
 
             @pl.when(ok)
             def _(p=p, m_p=m_p, mom_p=mom_p, lo=lo):
                 gmass_o[p, lo : lo + pc] += m_p
                 gmom_o[p, :, lo : lo + pc] += mom_p
+
+        _scatter_pass1(d, mass, velp, C9, z, emit1)
 
 
 def _p2g2u_shard_kernel(
@@ -484,26 +547,17 @@ def _p2g2u_shard_kernel(
             a_p = coef * (-pressure)
             b_mu = coef * viscosity
 
-            for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
-                dist = [dists[a][tap[a]] for a in range(3)]
-                mv = _matvec9(C9, dist)
-                mvt = _matvec9_t(C9, dist)
-                Sd = [mv[a] + mvt[a] for a in range(3)]
-                if legacy_strain:
-                    diag = [C9[0], C9[4], C9[8]]
-                    Sd = [Sd[a] - diag[a] * dist[a] for a in range(3)]
-                mom_c = jnp.stack(
-                    [w * (a_p * dist[a] + b_mu * Sd[a]) for a in range(3)]
-                )
-                mom_p = jnp.sum(mom_c, axis=1)
+            def emit2(tx, ty, tz, mom_p):
+                dx = tx - 1
                 p = jnp.clip(t + dx + 1, 0, L + 1)
                 ok = (gj + dx >= 0) & (gj + dx <= float(nx - 1))
-                lo = h + oyz
+                lo = h + (ty - 1) * z + (tz - 1)
 
                 @pl.when(ok)
                 def _(p=p, mom_p=mom_p, lo=lo):
                     gvel_o[p, :, lo : lo + pc] += mom_p
+
+            _scatter_pass2(d, a_p, b_mu, C9, legacy_strain, emit2)
 
     # U for accumulator plane a = t - 2 + 1, locally complete a in [2, L-1]
     @pl.when((t >= 3) & (t - 2 <= L - 2))

