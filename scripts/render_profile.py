@@ -69,9 +69,6 @@ def main():
 
     pos, vmag = timeit("extract", extract, state)
 
-    deposit = jax.jit(lambda p, v: _splat._point_deposit(
-        *_proj(p, v), cam))
-    # build projection pieces inline for stage timing
     from mpm_tpu.render.camera import view_to_screen, world_to_view
 
     @jax.jit
@@ -115,9 +112,6 @@ def main():
     write_png("/tmp/rp.png", host)
     print(f"  {'png encode+write':28s} {(time.perf_counter()-t0)*1e3:8.1f} ms")
 
-
-def _proj(p, v):
-    raise NotImplementedError
 
 
 if __name__ == "__main__":
