@@ -40,23 +40,14 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.params import FluidParams, SimConfig
-from ...core.state import Grid
 from .. import bspline
 from ..bucketed import CFL_EPS as _CFL_EPS
 from ..bucketed import BucketState
-from .bucket_kernels import (
-    _TAPS3,
-    _halo,
-    _plane_geometry,
-    _tap_parts,
-    _tap_w_dist,
-    _weight_tables,
-)
+from .bucket_kernels import _halo, _plane_geometry
 from .migrate_kernels import (
     _INT_SENTINEL,
     _delta_axis,

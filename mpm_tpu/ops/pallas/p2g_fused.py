@@ -34,7 +34,6 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -46,27 +45,8 @@ from .bucket_kernels import (
     _halo,
     _plane_geometry,
     _tap_parts,
-    _tap_w_dist,
     _weight_tables,
 )
-
-
-def _matvec9(C9, v):
-    """rows i = sum_j C9[3i+j] * v[j]; returns a 3-list of [K, pc] rows (no
-    stack — callers combine rows elementwise and stack once at the end)."""
-    return [
-        C9[3 * i] * v[0] + C9[3 * i + 1] * v[1] + C9[3 * i + 2] * v[2]
-        for i in range(3)
-    ]
-
-
-def _matvec9_t(C9, v):
-    return [
-        C9[i] * v[0] + C9[3 + i] * v[1] + C9[6 + i] * v[2]
-        for i in range(3)
-    ]
-
-
 
 
 def _pass1_moments(d, mass, velp, C9):
