@@ -331,13 +331,11 @@ def cmd_render(args):
     # SURVEY.md §2.5 host<->device async)
     pool = ThreadPoolExecutor(max_workers=2)
     pending = []
-    for i in range(args.frames):
-        state = step(state, fluid_fn(i), inter_fn(i))
-        if bucket_path:
-            img = renderer_b(state, view)
-        else:
-            pos, vmag = extract(state)
-            img = renderer(pos, vmag, view)
+
+    def flush(img, idx):
+        # device->host image transfer happens AFTER the next frame's compute
+        # was dispatched (jax async dispatch), so it overlaps device work;
+        # PNG encode+write then overlaps on the worker thread
         host = np.asarray(img)
         if args.hud:
             from .render.hud import burn_in_hud
@@ -346,13 +344,27 @@ def cmd_render(args):
                 host, stats, extra=f"N={scene.state.num_particles}"
             )
         pending.append(pool.submit(
-            write_png, os.path.join(args.out, f"frame_{i:05d}.png"), host
+            write_png, os.path.join(args.out, f"frame_{idx:05d}.png"), host
         ))
         if len(pending) > 2:
             pending.pop(0).result()
+
+    prev = None
+    for i in range(args.frames):
+        state = step(state, fluid_fn(i), inter_fn(i))
+        if bucket_path:
+            img = renderer_b(state, view)
+        else:
+            pos, vmag = extract(state)
+            img = renderer(pos, vmag, view)
+        if prev is not None:
+            flush(*prev)
+        prev = (img, i)
         stats.tick()
         if i == 0:
             print(f"first frame (compile): {time.perf_counter() - t0:.1f}s")
+    if prev is not None:
+        flush(*prev)
     for f in pending:
         f.result()
     pool.shutdown()

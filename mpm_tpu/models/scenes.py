@@ -326,3 +326,10 @@ def benchmark_scene_2d(n_target: int = 100_000, grid_res: int = 256) -> Scene:
 
 
 SCENES["bench2d"] = benchmark_scene_2d
+
+
+def _bench3d(n_target: int = 1_000_000, **kw) -> Scene:
+    return benchmark_scene(n_target, **kw)
+
+
+SCENES["bench3d"] = _bench3d
