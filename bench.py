@@ -1,9 +1,18 @@
 #!/usr/bin/env python
 """Headline benchmark: particle-steps/sec at 1M 3D particles on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 1e9 (the BASELINE.md north-star target:
->= 1e9 particle-steps/sec on one v5e at 1M particles).
+Prints TWO JSON lines (the north star reads ">= 1e9 particle-steps/sec ...
+at 1M 3D particles WITH SSFR frame export", BASELINE.md):
+
+  1. particle_steps_per_sec_1M_3d            — simulation only
+  2. particle_steps_per_sec_1M_3d_with_render — sustained pipeline
+     throughput with an SSFR frame rendered AND PNG-encoded every
+     `substeps` substeps (the product's frame loop; encode overlaps device
+     compute on a worker thread, as in `python -m mpm_tpu render`)
+
+The with-render line is printed LAST — it is the official headline; the
+sim-only line is kept for round-over-round comparability. vs_baseline is
+value / 1e9.
 
 Timing uses a device->host fence (see mpm_tpu/utils/timing.py) — never trust
 block_until_ready alone on tunneled platforms.
@@ -81,6 +90,76 @@ def main():
         "unit": "particle-steps/s",
         "vs_baseline": value / 1e9,
         "particles_lost": lost,
+    }))
+
+    # ---- official headline: sim + SSFR frame export, sustained ----
+    # frame loop identical to `python -m mpm_tpu render bench3d`: per frame,
+    # `substeps` substeps then a full SSFR frame (Pallas cell extraction +
+    # z-buffer splat + blur + shade) and a PNG encode on a worker thread
+    # overlapping the next frame's device compute
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    import functools
+
+    from mpm_tpu.render import RenderConfig, Camera, default_view, write_png
+    from mpm_tpu.render.pipeline import render_frame_buckets
+
+    substeps = scene.config.substeps  # 2, the reference flagship's rate
+    fstep = make_step(scene.config, mode=mode, substeps=substeps)
+    rc = RenderConfig(camera=Camera(width=640, height=360))
+    view = default_view(scene.config.grid_res)
+    renderer = jax.jit(functools.partial(
+        render_frame_buckets, rc=rc,
+        interpret=jax.default_backend() == "cpu",
+    ))
+    outdir = tempfile.mkdtemp(prefix="bench_frames_")
+    pool = ThreadPoolExecutor(max_workers=2)
+
+    t0 = time.perf_counter()
+    img = renderer(state, view)
+    np.asarray(img[:1, :1, 0])
+    print(f"# render compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    frames = 40
+    best_dt = None
+    for w in range(3):
+        pending = []
+        prev = None
+        t0 = time.perf_counter()
+        for i in range(frames):
+            state = fstep(state, scene.fluid, ())
+            img = renderer(state, view)
+            if prev is not None:
+                pending.append(pool.submit(
+                    write_png, f"{outdir}/f_{i:03d}.png", np.asarray(prev)
+                ))
+                if len(pending) > 2:
+                    pending.pop(0).result()
+            prev = img
+        for f in pending:
+            f.result()
+        pending.clear()
+        np.asarray(prev[:1, :1, 0])  # fence the last frame's device chain
+        write_png(f"{outdir}/f_last.png", np.asarray(prev))
+        dt = time.perf_counter() - t0
+        print(f"# render window {w}: {frames} frames ({frames * substeps} "
+              f"substeps) in {dt:.3f}s", file=sys.stderr)
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    pool.shutdown()
+    lost2 = int(np.asarray(state.lost))
+    value_r = frames * substeps * n / best_dt
+    print(f"# with-render: {value_r / 1e6:.1f}M ps/s at 640x360, "
+          f"{best_dt / frames * 1e3:.1f} ms/frame, lost={lost2 - lost}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "particle_steps_per_sec_1M_3d_with_render",
+        "value": value_r,
+        "unit": "particle-steps/s",
+        "vs_baseline": value_r / 1e9,
+        "sim_only_value": value,
+        "render_resolution": "640x360",
+        "particles_lost": lost2,
     }))
 
 

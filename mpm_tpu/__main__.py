@@ -249,6 +249,60 @@ def cmd_run(args):
     metrics.close()
 
 
+def _render_2d_loop(args, scene, step, state, mode):
+    """2D frame export — the main_2d analogue (MLSMPMP2DFluid.tscn:34-46):
+    particles rasterized over a cell-grid background by render2d.render_2d."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .ops import bucketed
+    from .render import write_png
+    from .render.render2d import render_2d
+    from .utils.timing import FrameStats
+
+    res2 = tuple(int(r) for r in scene.config.grid_res)
+    bucket = mode in ("bucketed", "pallas")
+
+    @jax.jit
+    def frame_img(state):
+        if bucket:
+            pos = state.pos.reshape(state.pos.shape[0], -1)
+            vel = state.vel.reshape(state.vel.shape[0], -1).astype(jnp.float32)
+            live = state.mass.reshape(-1) > 0
+        else:
+            pos = state.pos  # SimState is lane-major [D, N]
+            vel = state.vel.astype(jnp.float32)
+            live = None
+        vmag = jnp.sqrt(jnp.sum(vel * vel, axis=0))
+        return render_2d(pos, vmag, res2, live=live)
+
+    os.makedirs(args.out, exist_ok=True)
+    inter0, inter_fn = _parse_interactions(args, scene.config)
+    fluid_fn = _apply_fluid_overrides(args, scene.fluid)[1]
+    stats = FrameStats()
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        state = step(state, fluid_fn(i), inter_fn(i))
+        img = frame_img(state)
+        host = np.asarray(img)
+        if args.hud:
+            from .render.hud import burn_in_hud
+
+            host = burn_in_hud(host, stats, extra=f"N={scene.state.num_particles}")
+        write_png(os.path.join(args.out, f"frame_{i:05d}.png"), host)
+        stats.tick()
+        if i == 0:
+            print(f"first frame (compile): {time.perf_counter() - t0:.1f}s")
+    s = stats.stats
+    print(
+        f"{args.frames} 2D frames -> {args.out} "
+        f"(avg {s['avg_ms']:.0f} ms/frame excl. compile, incl. PNG IO)"
+    )
+
+
 def cmd_render(args):
     import numpy as np
 
@@ -269,6 +323,8 @@ def cmd_render(args):
     scene, step, state, mode = _build(args)
     fluid0, fluid_fn = _apply_fluid_overrides(args, scene.fluid)
     scene = scene._replace(fluid=fluid0)
+    if scene.config.dim == 2:
+        return _render_2d_loop(args, scene, step, state, mode)
     cam = Camera(width=args.width, height=args.height)
     rc = RenderConfig(
         camera=cam,
@@ -351,14 +407,24 @@ def cmd_render(args):
 
     prev = None
     for i in range(args.frames):
+        td0 = time.perf_counter()
         state = step(state, fluid_fn(i), inter_fn(i))
         if bucket_path:
             img = renderer_b(state, view)
         else:
             pos, vmag = extract(state)
             img = renderer(pos, vmag, view)
+        # host work (prev-frame transfer + HUD + PNG submit/backpressure)
+        # overlaps this frame's device compute; fencing on one pixel of the
+        # new frame afterwards gives the device time for step+render — the
+        # reference's CPU/GPU frame-time split (debug_menu.gd:132,383,403)
+        th0 = time.perf_counter()
         if prev is not None:
             flush(*prev)
+        host_s = time.perf_counter() - th0
+        np.asarray(img[:1, :1, 0])
+        if i > 0:  # frame 0's device time is dominated by compilation
+            stats.split(time.perf_counter() - td0, host_s)
         prev = (img, i)
         stats.tick()
         if i == 0:
@@ -372,7 +438,8 @@ def cmd_render(args):
     print(
         f"{args.frames} frames -> {args.out} "
         f"(avg {s['avg_ms']:.0f} ms/frame excl. compile, "
-        f"min {s['min_ms']:.0f} max {s['max_ms']:.0f}, incl. PNG IO)"
+        f"min {s['min_ms']:.0f} max {s['max_ms']:.0f}, incl. PNG IO; "
+        f"dev {s['dev_ms']:.1f} ms | host {s['host_ms']:.1f} ms)"
     )
 
 

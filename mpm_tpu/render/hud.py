@@ -32,6 +32,8 @@ _GLYPHS = {
     "E": "1F 10 10 1E 10 10 1F", "K": "11 12 14 18 14 12 11",
     "C": "0E 11 10 10 10 11 0E", "U": "11 11 11 11 11 11 0E",
     "D": "1E 11 11 11 11 11 1E", "R": "1E 11 11 1E 14 12 11",
+    "H": "11 11 11 1F 11 11 11", "O": "0E 11 11 11 11 11 0E",
+    "|": "04 04 04 04 04 04 04",
 }
 
 
@@ -67,6 +69,10 @@ def burn_in_hud(
         f"{s['min_ms']:6.1f}/{s['max_ms']:6.1f} MIN/MAX",
         f"{s['last_ms']:6.1f} MS LAST",
     ]
+    if s.get("dev_ms") or s.get("host_ms"):
+        # the reference's separate CPU and GPU frame times
+        # (debug_menu.gd:132,383,403)
+        lines.append(f"DEV {s['dev_ms']:5.1f} | HOST {s['host_ms']:5.1f} MS")
     if extra:
         lines.append(extra)
 

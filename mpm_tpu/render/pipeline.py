@@ -170,7 +170,13 @@ def make_bucket_renderer(rc: RenderConfig, interpret: bool = False) -> Callable:
 
 def default_view(config_grid_res=(64, 64, 64)) -> jax.Array:
     """A pleasant default camera: looking at the domain center from an
-    elevated diagonal, like the reference's main camera start pose."""
+    elevated diagonal, like the reference's main camera start pose.
+    3D only — 2D scenes render through render2d.render_2d (no camera)."""
+    if len(config_grid_res) != 3:
+        raise ValueError(
+            f"default_view needs a 3D grid, got {config_grid_res}; "
+            "2D scenes use mpm_tpu.render.render2d.render_2d"
+        )
     c = [r / 2.0 for r in config_grid_res]
     eye = (c[0] + 55.0, c[1] + 28.0, c[2] + 55.0)
     return jnp.asarray(look_at(eye, (c[0], c[1] - 8.0, c[2])))

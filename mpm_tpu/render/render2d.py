@@ -19,6 +19,7 @@ def render_2d(
     vel_mag: jax.Array,  # [N]
     grid_res: tuple[int, int],
     scale: int = 8,  # pixels per cell (the reference camera zoom, :34-37)
+    live: jax.Array | None = None,  # [N] bool; dead bucket slots excluded
 ) -> jax.Array:
     """Returns [H, W, 3] with W = res_x * scale, H = res_y * scale.
     x maps to image columns, y to rows (screen-down, like the reference)."""
@@ -27,6 +28,10 @@ def render_2d(
     px = jnp.clip((pos[0] * scale).astype(jnp.int32), 0, w - 1)
     py = jnp.clip((pos[1] * scale).astype(jnp.int32), 0, h - 1)
     pix = py * w + px
+    if live is not None:
+        # park dead slots one past the last pixel: the segment bounds below
+        # only cover [0, h*w), so they contribute to no pixel
+        pix = jnp.where(live, pix, h * w)
 
     # per-pixel particle count and mean |v| — scatter-free: sort by pixel,
     # segment bounds via searchsorted (setup-scale arrays; runs fine on CPU)
@@ -41,6 +46,17 @@ def render_2d(
 
     density = jnp.clip(count.reshape(h, w) / 2.0, 0.0, 1.0)
     speed = jnp.clip(mean_v.reshape(h, w) / 3.0, 0.0, 1.0)
+
+    # dilate single-pixel hits into visible dots (the reference draws each
+    # particle as a multi-pixel quad at camera zoom 8)
+    r = max(1, scale // 4)
+    win = 2 * r + 1
+    density = jax.lax.reduce_window(
+        density, 0.0, jax.lax.max, (win, win), (1, 1), "SAME"
+    )
+    speed = jax.lax.reduce_window(
+        speed, 0.0, jax.lax.max, (win, win), (1, 1), "SAME"
+    )
 
     # water-blue ramp shading toward white with speed
     base = jnp.stack(

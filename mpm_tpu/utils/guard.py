@@ -57,7 +57,9 @@ class GuardedStep:
 
     def __call__(self, state, fluid, interactions=()):
         if self._good is None:
-            self._good = state
+            # copy: steps built with donate=True donate `state`'s buffers on
+            # this very call — an aliased reference would be deleted with them
+            self._good = jax.tree_util.tree_map(jnp.copy, state)
         fluid_eff = (
             fluid
             if self.current_dt_scale == 1.0
@@ -73,7 +75,11 @@ class GuardedStep:
                         f"simulation diverged {self.failures} times; giving up"
                     )
                 self.current_dt_scale *= self.dt_backoff
-                return self._good
+                # hand out the saved state but keep our own fresh copy: the
+                # caller's next step may donate the returned buffers
+                good = self._good
+                self._good = jax.tree_util.tree_map(jnp.copy, good)
+                return good
             # copy: steps built with donate=True would otherwise donate the
             # saved buffers on the next call, deleting the rollback target
             self._good = jax.tree_util.tree_map(jnp.copy, out)
