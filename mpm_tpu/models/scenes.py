@@ -333,3 +333,73 @@ def _bench3d(n_target: int = 1_000_000, **kw) -> Scene:
 
 
 SCENES["bench3d"] = _bench3d
+
+
+def benchmark_dam_break(n_target: int = 1_000_000) -> Scene:
+    """Dynamic churn benchmark: a tall dam column filling the left ~60% of x
+    collapses across the domain — measured MID-COLLAPSE, when migration
+    selects run hot on most planes (VERDICT r2: the settled-pool bench lets
+    the zy-static/zero-mover gates fire; this scene measures the engine,
+    not the gates). The reference's own visual scenario is exactly this kind
+    of splashing fluid (main_3d scene, 32^3 box dropped into a 64^3 domain).
+
+    Packing: same integral per-cell sub-lattice as benchmark_scene but at a
+    uniform m0 = 5/cell (no hydrostatic profile — the column is NOT in
+    equilibrium; that is the point). K = 8 leaves 3 slots/cell headroom for
+    compression at the impact front; a stiff EOS (k=30) caps hydrostatic
+    bottom compression of the settled end state at ~1.3x (6.5/cell < 8) so
+    the scene never saturates bin capacity (zero loss; transient rejections
+    surface in `deferred`)."""
+    m0 = 5
+    rx, rz = 64, 64
+    wx = 37  # dam occupies x cells [3, 40): ~60% of the span
+    wz = rz - 6
+    ncols = wx * wz
+    n_rows = -(-n_target // (m0 * ncols))  # ~93 rows for 1M
+    ry = -((n_rows + 3 + 8) // -8) * 8  # floor 3 + splash headroom, 8-aligned
+    config = SimConfig(
+        grid_res=(rx, ry, rz),
+        num_particles=n_target,
+        substeps=2,
+        clamp_lo=2.0,
+        clamp_hi_offset=2.0,
+        wall_min=3.0,
+        wall_max_offset=3.0,
+        wall_stiffness=1.0,
+        bin_capacity=8,
+        eos_power_static=7.0,
+    )
+    fluid = FluidParams.create(
+        dim=3, dt=0.03, rest_density=float(m0), eos_stiffness=30.0,
+        eos_power=7.0,
+    )
+    corners = np.stack(np.meshgrid(*([[0.25, 0.75]] * 3), indexing="ij"), -1)
+    corners = corners.reshape(8, 3)
+    cxs = 3.0 + np.arange(wx, dtype=np.float32)
+    czs = 3.0 + np.arange(wz, dtype=np.float32)
+    gx, gz = np.meshgrid(cxs, czs, indexing="ij")
+    gx, gz = gx.reshape(-1), gz.reshape(-1)
+    rng = np.random.default_rng(4242)
+    parts = []
+    placed = 0
+    for r in range(n_rows):
+        take = min(m0 * ncols, n_target - placed)
+        nfull = take // m0
+        rot = (np.arange(ncols) * 3 + r * 5) % 8
+        base = np.stack([gx, np.full_like(gx, 3.0 + r), gz], -1)
+        sub = corners[(rot[:, None] + np.arange(m0)[None, :]) % 8]
+        pts = (base[:, None, :] + sub)[:nfull].reshape(-1, 3)
+        rem = take - nfull * m0
+        if rem:
+            pts = np.concatenate([pts, (base[nfull] + sub[nfull])[:rem]])
+        parts.append(pts)
+        placed += take
+        if placed >= n_target:
+            break
+    pos = np.concatenate(parts, axis=0).astype(np.float32)
+    pos += rng.uniform(-0.04, 0.04, pos.shape).astype(np.float32)
+    assert pos.shape[0] == n_target
+    return Scene(f"dam_{n_target}", config, fluid, make_state(pos))
+
+
+SCENES["bench3d_dam"] = benchmark_dam_break

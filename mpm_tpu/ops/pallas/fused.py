@@ -40,6 +40,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -66,6 +67,16 @@ _NOG2P = os.environ.get("MPM_FUSED_NOG2P", "0") == "1"   # physics-breaking
 _NOP2G1 = os.environ.get("MPM_FUSED_NOP2G1", "0") == "1"  # physics-breaking
 _NOP2G2 = os.environ.get("MPM_FUSED_NOP2G2", "0") == "1"  # physics-breaking
 _NO_KP = os.environ.get("MPM_NO_KP", "0") == "1"  # use split A/B + XLA glue
+# Sub-plane select gating: the O(K_out x 3K x 17-row) migration selects run
+# per CHUNK-column span, skipping mover-free spans (0 disables). Must divide
+# every plane's cell count; spans that don't divide fall back to full-plane.
+_CHUNK = int(os.environ.get("MPM_SELECT_CHUNK", "512"))
+# Attribution: force the live (staging + select) paths even with no movers —
+# isolates the migration machinery's cost from the physics churn
+_FORCE_LIVE = os.environ.get("MPM_FORCE_LIVE", "0") == "1"
+# Attribution: run the live paths' staging but replace every select with a
+# bulk copy (physics-breaking unless mover-free) — staging-only cost
+_NOSEL = os.environ.get("MPM_FUSED_NOSEL", "0") == "1"
 
 
 def _mig_halo(z: int) -> int:
@@ -195,22 +206,30 @@ def _gated_select(k, ranks, total, fields, write, zero_all: bool):
 
 
 def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
-                 add_lost, add_defer, zero_all: bool = False, bulk_write=None):
+                 add_lost, add_defer, zero_all: bool = False, bulk_write=None,
+                 chunk: int = 0):
     """One intra-plane (z or y) migration phase on VMEM-resident scratch.
 
     refs: dict of full-width padded VMEM refs {pos [3,K,pcp], vel,
-    C [9,K,pcp], mass [K,pcp], ids}. dst_write(name, kk, v) writes output
-    slot kk; add_lost(n)/add_defer(n) accumulate counters (called inside the
-    select branch). Candidate order and rank select are identical to
-    migrate_kernels._intra_core_kernel, with overflow rejection applied
-    first (see _reject_intra) so nothing is ever dropped.
+    C [9,K,pcp], mass [K,pcp], ids}. dst_write(name, kk, v, lo, cw) writes
+    output slot kk, center columns [lo, lo+cw); bulk_write(name, v, lo, cw)
+    copies all slots of that span. add_lost(n)/add_defer(n) accumulate
+    counters (called inside the select branch). Candidate order and rank
+    select are identical to migrate_kernels._intra_core_kernel, with
+    overflow rejection applied first (see _reject_intra) so nothing is ever
+    dropped.
 
-    Zero-mover fast path: when no particle in the (padded) plane crosses a
-    cell boundary along this axis, the select is the identity (buckets stay
-    prefix-compact between migrations, so rank[j] == j for every stayer) —
-    `bulk_write(name, center_view)` copies the plane through in one shot
-    instead of running the O(K_out x 3K) select. Overflow is impossible on
-    that path (occupancies unchanged, already <= K)."""
+    Two mover-sparsity fast paths (both exact — identity holds wherever no
+    particle crosses a cell boundary along this axis, because buckets stay
+    prefix-compact between migrations so rank[j] == j for every stayer):
+    1. plane-level: no mover anywhere in the padded plane -> bulk copy;
+    2. chunk-level (`chunk` > 0 and divides pc): the O(K_out x 3K x 17-row)
+       select runs only on `chunk`-column spans that contain a mover within
+       `stride` columns (a mover's source and destination are <= stride
+       apart, so a span with no mover in its stride-extended window is the
+       identity); mover-free spans bulk-copy. In a settled pool movers
+       cluster in the surface y-band = a contiguous column range of each
+       plane, so most spans skip (measured via scripts/mover_stats.py)."""
     stride = z if axis == 1 else 1
     pc = refs["mass"].shape[-1] - 2 * hm
     mass0 = refs["mass"][:]
@@ -218,7 +237,30 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
         refs["pos"][:], mass0, axis, z, hm, dtype
     )
 
-    def run_select():
+    def select_span(src, occ_all, delta_all, c0, cw):
+        def sh(x, off):
+            return x[..., hm + c0 + off : hm + c0 + off + cw]
+
+        fields = [
+            (name, (sh(src[name], 0), sh(src[name], -stride),
+                    sh(src[name], stride)), name == "ids")
+            for name in ("pos", "vel", "C", "mass", "ids")
+        ]
+        occ_c, occ_l, occ_r = (sh(occ_all, o) for o in (0, -stride, stride))
+        d_c, d_l, d_r = (sh(delta_all, o) for o in (0, -stride, stride))
+        _, ranks, total = _rank_and_masks(d_c, d_l, d_r, occ_c, occ_l, occ_r)
+
+        def write(name, kk, v):
+            dst_write(name, kk, v, c0, cw)
+
+        if _NOSEL:  # attribution: staging cost only
+            for name, cands, _ in fields:
+                for kk in range(k):
+                    write(name, kk, cands[0][..., kk, :])
+            return
+        add_lost(_gated_select(k, ranks, total, fields, write, zero_all))
+
+    def rejected_src():
         add_defer(
             _reject_intra(refs, occ_all0, delta_all0, axis, z, hm, k, pc, dtype)
         )
@@ -226,27 +268,14 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
         occ_all, delta_all = _intra_occ_delta(
             src["pos"], src["mass"], axis, z, hm, dtype
         )
+        return src, occ_all, delta_all
 
-        def cands(x):
-            return (_shift_cols(x, 0, hm), _shift_cols(x, -stride, hm),
-                    _shift_cols(x, stride, hm))
-
-        fields = [
-            ("pos", cands(src["pos"]), False),
-            ("vel", cands(src["vel"]), False),
-            ("C", cands(src["C"]), False),
-            ("mass", cands(src["mass"]), False),
-            ("ids", cands(src["ids"]), True),
-        ]
-        occ_c, occ_l, occ_r = (
-            _shift_cols(occ_all, o, hm) for o in (0, -stride, stride)
-        )
-        d_c, d_l, d_r = (_shift_cols(delta_all, o, hm) for o in (0, -stride, stride))
-        _, ranks, total = _rank_and_masks(d_c, d_l, d_r, occ_c, occ_l, occ_r)
-        add_lost(_gated_select(k, ranks, total, fields, dst_write, zero_all))
+    def run_select_full():
+        src, occ_all, delta_all = rejected_src()
+        select_span(src, occ_all, delta_all, 0, pc)
 
     if bulk_write is None or not _GATE:
-        run_select()
+        run_select_full()
         return
 
     any_mover = jnp.any(delta_all0 != 0.0)
@@ -254,11 +283,35 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
     @pl.when(jnp.logical_not(any_mover))
     def _copy_through():
         for name in ("pos", "vel", "C", "mass", "ids"):
-            bulk_write(name, _shift_cols(refs[name][:], 0, hm))
+            bulk_write(name, _shift_cols(refs[name][:], 0, hm), 0, pc)
 
     @pl.when(any_mover)
-    def _full_select():
-        run_select()
+    def _live():
+        if not (chunk and pc % chunk == 0 and pc // chunk > 1):
+            run_select_full()
+            return
+        src, occ_all, delta_all = rejected_src()
+        # per-column mover flag (rejection may have zeroed some movers)
+        mov_col = jnp.max(
+            jnp.where(delta_all != 0.0, 1.0, 0.0), axis=0
+        )  # [pcp]
+        for c0 in range(0, pc, chunk):
+            lo = hm + c0 - stride
+            hi = hm + c0 + chunk + stride
+            span_any = (jnp.max(mov_col[lo:hi]) > 0.0) | _FORCE_LIVE
+
+            @pl.when(span_any)
+            def _(c0=c0):
+                select_span(src, occ_all, delta_all, c0, chunk)
+
+            @pl.when(jnp.logical_not(span_any))
+            def _(c0=c0):
+                for name in ("pos", "vel", "C", "mass", "ids"):
+                    bulk_write(
+                        name,
+                        src[name][..., hm + c0 : hm + c0 + chunk],
+                        c0, chunk,
+                    )
 
 
 def _fused_kernel(
@@ -271,6 +324,7 @@ def _fused_kernel(
     tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
     r_pos, r_vel, r_C, r_mass, r_ids, scr_nmovr,
     *, config: SimConfig, n_inter: int, shard: bool,
+    fixed_mult: float | None = None,
 ):
     t = pl.program_id(0)
     L = pl.num_programs(0) - 1  # local planes swept (== nx when unsharded)
@@ -354,7 +408,14 @@ def _fused_kernel(
                         wzd = wz * dists[2][tz]
                         lo = h + (ty - 1) * z + (tz - 1)
                         plane = views[dx][0, :, lo : lo + pc]  # [3, pc]
-                        gv = jnp.where(ok, plane, 0.0)
+                        if fixed_mult is None:
+                            gv = jnp.where(ok, plane, 0.0)
+                        else:  # int32 fixed-point grid velocity: decode
+                            # (ops/fixed_point.decode; g2p.glsl reads the
+                            # same int grid the update pass re-encoded)
+                            gv = jnp.where(ok, plane, 0).astype(
+                                dtype
+                            ) / np.float32(fixed_mult)
                         for a in range(3):
                             gva = gv[a][None, :]
                             S0[a] = S0[a] + wz * gva
@@ -462,7 +523,7 @@ def _fused_kernel(
         zy_mov = occ & (
             (jnp.floor(pos[2]) != cz_f) | (jnp.floor(pos[1]) != cy_f)
         )
-        zy_any = jnp.any(zy_mov) | jnp.logical_not(_GATE)
+        zy_any = jnp.any(zy_mov) | jnp.logical_not(_GATE) | _FORCE_LIVE
 
         @pl.when(jnp.logical_not(zy_any))
         def _zy_static():
@@ -483,21 +544,21 @@ def _fused_kernel(
             refsA = {"pos": tA_pos, "vel": tA_vel, "C": tA_C,
                      "mass": tA_mass, "ids": tA_ids}
 
-            def write_B(name, kk, v):
+            def write_B(name, kk, v, lo, cw):
                 ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
                        "mass": tB_mass, "ids": tB_ids}[name]
                 if name in ("mass", "ids"):
-                    ref[kk, hm : hm + pc] = v
+                    ref[kk, hm + lo : hm + lo + cw] = v
                 else:
-                    ref[:, kk, hm : hm + pc] = v
+                    ref[:, kk, hm + lo : hm + lo + cw] = v
 
-            def bulk_B(name, v):
+            def bulk_B(name, v, lo, cw):
                 ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
                        "mass": tB_mass, "ids": tB_ids}[name]
                 if name in ("mass", "ids"):
-                    ref[:, hm : hm + pc] = v
+                    ref[:, hm + lo : hm + lo + cw] = v
                 else:
-                    ref[:, :, hm : hm + pc] = v
+                    ref[:, :, hm + lo : hm + lo + cw] = v
 
             def add_lost(v):
                 lost_ref[0, 0] += jnp.where(in_interior, v, 0)
@@ -506,25 +567,28 @@ def _fused_kernel(
                 defer_ref[0, 0] += jnp.where(in_interior, v, 0)
 
             _intra_phase(refsA, write_B, 2, z, hm, k, dtype, add_lost,
-                         add_defer, bulk_write=bulk_B)
+                         add_defer, bulk_write=bulk_B, chunk=_CHUNK)
 
-            def write_ring(name, kk, v):
+            def write_ring(name, kk, v, lo, cw):
                 ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
                        "mass": r_mass, "ids": r_ids}[name]
                 if name in ("mass", "ids"):
-                    ref[rt, kk, :] = v
+                    ref[rt, kk, lo : lo + cw] = v
                 else:
-                    ref[rt, :, kk, :] = v
+                    ref[rt, :, kk, lo : lo + cw] = v
 
-            def bulk_ring(name, v):
+            def bulk_ring(name, v, lo, cw):
                 ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
                        "mass": r_mass, "ids": r_ids}[name]
-                ref[rt] = v
+                if name in ("mass", "ids"):
+                    ref[rt, :, lo : lo + cw] = v
+                else:
+                    ref[rt, :, :, lo : lo + cw] = v
 
             refsB = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
                      "mass": tB_mass, "ids": tB_ids}
             _intra_phase(refsB, write_ring, 1, z, hm, k, dtype, add_lost,
-                         add_defer, bulk_write=bulk_ring)
+                         add_defer, bulk_write=bulk_ring, chunk=_CHUNK)
 
         # x-mover census of the zy-settled plane, for overflow rejection in
         # the output phase (a left-mover's acceptance at plane j-1 needs the
@@ -566,13 +630,13 @@ def _fused_kernel(
         occ_l, d_l = occ_delta(pos_l, r_mass[rl], gj - 1.0)
         occ_r, d_r = occ_delta(pos_r, r_mass[rr], gj + 1.0)
 
-        def write_out(name, kk, v):
+        def write_out(name, kk, v, lo, cw):
             ref = {"pos": pos_o, "vel": vel_o, "C": C_o,
                    "mass": mass_o, "ids": ids_o}[name]
             if name in ("mass", "ids"):
-                ref[kk, :] = v.astype(ref.dtype)
+                ref[kk, lo : lo + cw] = v.astype(ref.dtype)
             else:
-                ref[:, kk, :] = v.astype(ref.dtype)  # vel/C may store bf16
+                ref[:, kk, lo : lo + cw] = v.astype(ref.dtype)  # bf16 ok
 
         fields = [
             ("pos", (pos_c, pos_l, pos_r), False),
@@ -587,7 +651,7 @@ def _fused_kernel(
         # _intra_phase for why identity is exact)
         any_mover = (
             jnp.any(d_c != 0.0) | jnp.any(d_l != 0.0) | jnp.any(d_r != 0.0)
-        ) | jnp.logical_not(_GATE)
+        ) | jnp.logical_not(_GATE) | _FORCE_LIVE
 
         @pl.when(jnp.logical_not(any_mover))
         def _copy_through():
@@ -652,10 +716,70 @@ def _fused_kernel(
             _, ranks, total = _rank_and_masks(
                 d_c2, d_l2, d_r2, occ_c, occ_l, occ_r
             )
-            lost_x = _gated_select(
-                k, ranks, total, fields2, write_out, zero_all=True
+            if _NOSEL:  # attribution: skip the x select, copy plane through
+                occk = occ_c[None]
+                pos_o[:] = jnp.where(occk, pos_c2, 0.0)
+                vel_o[:] = jnp.where(occk, r_vel[rc], 0.0).astype(vel_o.dtype)
+                C_o[:] = jnp.where(occk, r_C[rc], 0.0).astype(C_o.dtype)
+                mass_o[:] = r_mass[rc]
+                ids_o[:] = jnp.where(occ_c, r_ids[rc], _INT_SENTINEL)
+                return
+            if not (_GATE and _CHUNK and pc % _CHUNK == 0 and pc > _CHUNK):
+                lost_x = _gated_select(
+                    k, ranks, total, fields2,
+                    lambda name, kk, v: write_out(name, kk, v, 0, pc),
+                    zero_all=True,
+                )
+                lost_ref[0, 0] += jnp.where(out_interior, lost_x, 0)
+                return
+
+            # chunk-level gating: x migration never changes the intra-plane
+            # column, so a span with no x-mover in ANY of the three ring
+            # planes passes plane j's span through unchanged (masked like
+            # the plane-level copy-through above)
+            mov_col = jnp.max(
+                jnp.where(
+                    (d_c2 != 0.0) | (d_l2 != 0.0) | (d_r2 != 0.0), 1.0, 0.0
+                ),
+                axis=0,
             )
-            lost_ref[0, 0] += jnp.where(out_interior, lost_x, 0)
+            for c0 in range(0, pc, _CHUNK):
+                span_any = (jnp.max(mov_col[c0 : c0 + _CHUNK]) > 0.0) | _FORCE_LIVE
+
+                @pl.when(span_any)
+                def _(c0=c0):
+                    sl = lambda x: x[..., c0 : c0 + _CHUNK]
+                    f_ch = [
+                        (name, tuple(sl(c) for c in cands), is_int)
+                        for name, cands, is_int in fields2
+                    ]
+                    r_ch = [sl(r) for r in ranks]
+
+                    def w(name, kk, v):
+                        write_out(name, kk, v, c0, _CHUNK)
+
+                    lost_x = _gated_select(
+                        k, r_ch, sl(total), f_ch, w, zero_all=True
+                    )
+                    lost_ref[0, 0] += jnp.where(out_interior, lost_x, 0)
+
+                @pl.when(jnp.logical_not(span_any))
+                def _(c0=c0):
+                    sl = lambda x: x[..., c0 : c0 + _CHUNK]
+                    occk = sl(occ_c)[None]
+                    pos_o[:, :, c0 : c0 + _CHUNK] = jnp.where(
+                        occk, sl(pos_c2), 0.0
+                    )
+                    vel_o[:, :, c0 : c0 + _CHUNK] = jnp.where(
+                        occk, sl(r_vel[rc]), 0.0
+                    ).astype(vel_o.dtype)
+                    C_o[:, :, c0 : c0 + _CHUNK] = jnp.where(
+                        occk, sl(r_C[rc]), 0.0
+                    ).astype(C_o.dtype)
+                    mass_o[:, c0 : c0 + _CHUNK] = sl(r_mass[rc])
+                    ids_o[:, c0 : c0 + _CHUNK] = jnp.where(
+                        sl(occ_c), sl(r_ids[rc]), _INT_SENTINEL
+                    )
 
 
 # ----------------------------------------------------------------- dispatch
@@ -674,8 +798,9 @@ def _vmem_bytes(config: SimConfig, k: int) -> int:
 
 
 def fused_supported(config: SimConfig, k: int | None = None) -> bool:
-    """3D float configs whose plane working set fits VMEM."""
-    if config.dim != 3 or config.fixed_point:
+    """3D configs whose plane working set fits VMEM (fixed-point included:
+    the int32 grid swaps dtype, not bytes)."""
+    if config.dim != 3:
         return False
     pc = config.grid_res[1] * config.grid_res[2]
     if pc % 128 != 0:
@@ -740,7 +865,8 @@ def _g2p_migrate_fused(
 
     pos, vel, C9, mass, ids, lost, clamped, deferred = pl.pallas_call(
         functools.partial(
-            _fused_kernel, config=config, n_inter=n_inter, shard=shard
+            _fused_kernel, config=config, n_inter=n_inter, shard=shard,
+            fixed_mult=config.fixed_point_mult if config.fixed_point else None,
         ),
         grid=(L + 1,),
         in_specs=[
@@ -843,20 +969,29 @@ def substep_fused(
             return kernels2d.substep2d(
                 state, config, fp, interactions, interpret=interpret
             )
-    if not fused_supported(config, state.pos.shape[1]):
+    from .p2g_fused import p2g_update_pallas, p2g_update_supported
+
+    if not fused_supported(config, state.pos.shape[1]) or (
+        # fixed-point needs kernel P (the split A/B kernels + XLA glue are
+        # float-only); out-of-envelope fixed configs run the XLA engine
+        config.fixed_point and not p2g_update_supported(config)
+    ):
         from .bucket_kernels import substep as substep_planes
 
         return substep_planes(state, config, fp, interactions, interpret=interpret)
-
-    from .p2g_fused import p2g_update_pallas, p2g_update_supported
 
     nx = config.grid_res[0]
     pc = config.num_cells // nx
     h = _halo(config)
 
     if _NOP2G1:  # perf attribution: zero grid, skip P2G entirely
-        gvel = jnp.zeros((nx, 3, pc + 2 * h), state.pos.dtype)
-    elif p2g_update_supported(config) and not (_NO_KP or _NOP2G2):
+        gvel = jnp.zeros(
+            (nx, 3, pc + 2 * h),
+            jnp.int32 if config.fixed_point else state.pos.dtype,
+        )
+    elif p2g_update_supported(config) and (
+        config.fixed_point or not (_NO_KP or _NOP2G2)
+    ):  # fixed-point always takes kernel P: the split path is float-only
         # kernel P: P2G pass 1 + pass 2 + grid update in one sweep; emits
         # the halo-padded grid-velocity array directly (no XLA glue)
         gvel = p2g_update_pallas(state, fp, config, interpret=interpret)

@@ -1,26 +1,30 @@
 """Fused P2G pass 1 + pass 2 + grid update (kernel P).
 
-The platform is streaming-bandwidth-bound (scripts/hbm_bw.py: ~25-35 GB/s
-through pallas block DMA, ~6 GB/s through XLA elementwise), so the split
-P2G pipeline's cost is its bytes: kernel A reads {pos, vel, C, mass}
-(64 B/slot), kernel B re-reads {pos, C, mass} (52 B/slot), and the XLA glue
-(update_grid + pad/swapaxes) re-streams the grid arrays through the slow XLA
-path. This kernel collapses all of it into ONE sweep that reads the particle
-state exactly once and emits the halo-padded grid-velocity array that the
-fused G2P kernel (fused.py, kernel F) consumes directly — no XLA glue at all.
+One sweep reads the particle state exactly once and emits the halo-padded
+grid-velocity array that the fused G2P kernel (fused.py, kernel F) consumes
+directly — no XLA glue. Round-3 restructure: the dominant cost of this
+kernel is its unaligned accumulator read-modify-writes (attribution measured
+the original pass-1 scatter — 27 taps x 4 rows — at ~2.3 ms of the 7.9 ms
+1M substep), so the pass-1 APIC momentum scatter is DEFERRED to the B-phase
+and merged with the force scatter: both are moment-form fields
+(w_tap * (b + sum_j t_j M[:, j]), see _scatter_moments), so their sum
+scatters for the cost of one. Accumulator RMW rows per plane: 27 mass +
+27x3 merged momentum = 108, vs 189 in the two-scatter form.
 
 Pipeline (grid = nx + 3 sequential steps, three phases in flight):
 
   step t:
-    A-phase (plane t      < nx): P2G pass 1 — 27-tap scatter of mass + APIC
-        momentum into the VMEM grid accumulators (p2g_1.glsl:56-93); the
-        plane's {pos, C, mass} is stashed in a 3-deep VMEM ring for B.
+    A-phase (plane t      < nx): P2G pass-1 MASS scatter into the VMEM grid
+        accumulator (p2g_1.glsl:56-93); the plane's {pos, vel, C, mass} is
+        stashed in a 3-deep VMEM ring for B.
     B-phase (plane j = t-2 >= 0): pass-1 mass for planes j-1..j+1 is final
-        (A scatters one plane each way), so the density gather + EOS/viscous
-        force scatter runs from the ring (p2g_2.glsl:52-159).
-    U-phase (plane q = t-3 >= 0): pass-2 momentum for plane q is final, so
-        the grid update (momentum -> velocity, gravity, boundary bands;
-        update_grid.glsl:36-74) runs in place on the output.
+        (A scatters one plane each way), so the density gather runs, then
+        ONE merged scatter emits pass-1 APIC momentum + pass-2 EOS/viscous
+        force from the ring (p2g_1.glsl:56-93 + p2g_2.glsl:52-159).
+    U-phase (plane q = t-3 >= 0): momentum for plane q is final (B of
+        planes q-1..q+1 ran at steps <= t, and step t's B textually
+        precedes U), so the grid update (momentum -> velocity, gravity,
+        boundary bands; update_grid.glsl:36-74) runs in place on the output.
 
 Spill columns of the padded accumulators are structurally zero (the geometry
 clip keeps every axis' edge planes/rows empty — see bucket_kernels.py), so
@@ -34,6 +38,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,6 +52,15 @@ from .bucket_kernels import (
     _tap_parts,
     _weight_tables,
 )
+
+import os
+
+# Perf-attribution knobs for kernel P (physics-breaking; fresh-process
+# experiments via scripts/quickbench.py — production = all defaults)
+_KP_NOS1 = os.environ.get("MPM_KP_NOS1", "0") == "1"   # skip pass-1 scatter
+_KP_NOS2 = os.environ.get("MPM_KP_NOS2", "0") == "1"   # skip pass-2 scatter
+_KP_NODEN = os.environ.get("MPM_KP_NODEN", "0") == "1"  # density := 1
+_KP_NOU = os.environ.get("MPM_KP_NOU", "0") == "1"      # skip grid update
 
 
 def _pass1_moments(d, mass, velp, C9):
@@ -67,41 +81,22 @@ def _pass1_moments(d, mass, velp, C9):
     return b, mc
 
 
-def _scatter_pass1(d, mass, velp, C9, z, emit):
-    """emit(tx, ty, tz, m_p [pc], mom_p [3, pc]) for each tap, with the
-    K-axis already reduced."""
-    wxs = [bspline.axis_weight(i, d[0]) for i in range(3)]
-    wys = [bspline.axis_weight(i, d[1]) for i in range(3)]
-    wzs = [bspline.axis_weight(i, d[2]) for i in range(3)]
-    b, mc = _pass1_moments(d, mass, velp, C9)
-    for tz in range(3):
-        wz = wzs[tz]
-        Z0 = wz * mass
-        Zq = [wz * b[a] + (wz * float(tz)) * mc[a][2] for a in range(3)]
-        Zc0 = [wz * mc[a][0] for a in range(3)]
-        Zc1 = [wz * mc[a][1] for a in range(3)]
-        for ty in range(3):
-            wy = wys[ty]
-            Y0 = wy * Z0
-            Yq = [wy * Zq[a] + (wy * float(ty)) * Zc1[a] for a in range(3)]
-            Yc0 = [wy * Zc0[a] for a in range(3)]
-            for tx in range(3):
-                wx = wxs[tx]
-                m_p = jnp.sum(wx * Y0, axis=0)
-                mom_p = jnp.stack([
-                    jnp.sum(wx * Yq[a] + (wx * float(tx)) * Yc0[a], axis=0)
-                    for a in range(3)
-                ])
-                emit(tx, ty, tz, m_p, mom_p)
+def _k_reduce(fixed_mult):
+    """K-axis reduction of per-slot tap contributions. Float mode sums in
+    f32; fixed-point mode encodes each SLOT's contribution to int32 first
+    (trunc toward zero, the reference's `int(x * mult)` cast, p2g_1.glsl:87-90)
+    then sums exactly — int32 addition commutes and associates, which is what
+    makes the mode bit-reproducible across permutations and shard counts."""
+    if fixed_mult is None:
+        return lambda x: jnp.sum(x, axis=0)
+    m = np.float32(fixed_mult)
+    return lambda x: jnp.sum(jnp.trunc(x * m).astype(jnp.int32), axis=0)
 
 
-def _scatter_pass2(d, a_p, b_mu, C9, legacy_strain, emit):
-    """Pass-2 force scatter, same factorization: contribution
+def _force_moments(d, a_p, b_mu, C9, legacy_strain):
+    """Pass-2 force term in moment form: contribution
     w * (a_p*dist + b_mu*S@dist) = w * (M @ dist) with M = a_p*I + b_mu*S;
-    q_t = b + sum_j t_j * M[:, j], b = -M @ (1 + d)."""
-    wxs = [bspline.axis_weight(i, d[0]) for i in range(3)]
-    wys = [bspline.axis_weight(i, d[1]) for i in range(3)]
-    wzs = [bspline.axis_weight(i, d[2]) for i in range(3)]
+    per tap q_t = b + sum_j t_j * M[:, j], b = -M @ (1 + d)."""
     # S = C + C^T (minus diag(C^T) in the 2D-legacy form)
     S = [[C9[3 * a + j] + C9[3 * j + a] for j in range(3)] for a in range(3)]
     if legacy_strain:
@@ -116,6 +111,21 @@ def _scatter_pass2(d, a_p, b_mu, C9, legacy_strain, emit):
           + M[a][2] * (1.0 + d[2]))
         for a in range(3)
     ]
+    return b, M
+
+
+def _scatter_moments(d, b, M, emit, reduce=None):
+    """Scatter a momentum field given in moment form: tap (tx,ty,tz) emits
+    w_tap * (b + sum_j t_j * M[:, j]) with per-axis partial products shared
+    across taps. The pass-1 APIC term (_pass1_moments), the pass-2 force
+    term (_force_moments), and their SUM all have this form — merging both
+    momentum scatters into one costs the same 27x3 accumulator rows as
+    pass 2 alone (the round-3 kernel-P restructure; attribution measured
+    pass-1's separate momentum scatter at ~2.3 ms of the 7.9 ms substep)."""
+    red = reduce if reduce is not None else (lambda x: jnp.sum(x, axis=0))
+    wxs = [bspline.axis_weight(i, d[0]) for i in range(3)]
+    wys = [bspline.axis_weight(i, d[1]) for i in range(3)]
+    wzs = [bspline.axis_weight(i, d[2]) for i in range(3)]
     for tz in range(3):
         wz = wzs[tz]
         Zq = [wz * b[a] + (wz * float(tz)) * M[a][2] for a in range(3)]
@@ -128,17 +138,32 @@ def _scatter_pass2(d, a_p, b_mu, C9, legacy_strain, emit):
             for tx in range(3):
                 wx = wxs[tx]
                 mom_p = jnp.stack([
-                    jnp.sum(wx * Yq[a] + (wx * float(tx)) * Yc0[a], axis=0)
+                    red(wx * Yq[a] + (wx * float(tx)) * Yc0[a])
                     for a in range(3)
                 ])
                 emit(tx, ty, tz, mom_p)
 
 
+def _scatter_mass(d, mass, emit, reduce=None):
+    """Mass-only pass-1 scatter: emit(tx, ty, tz, m_p [pc]) per tap."""
+    red = reduce if reduce is not None else (lambda x: jnp.sum(x, axis=0))
+    wxs = [bspline.axis_weight(i, d[0]) for i in range(3)]
+    wys = [bspline.axis_weight(i, d[1]) for i in range(3)]
+    wzs = [bspline.axis_weight(i, d[2]) for i in range(3)]
+    for tz in range(3):
+        Z0 = wzs[tz] * mass
+        for ty in range(3):
+            Y0 = wys[ty] * Z0
+            for tx in range(3):
+                emit(tx, ty, tz, red(wxs[tx] * Y0))
+
+
 def _p2g_update_kernel(
     pos_ref, vel_ref, C_ref, mass_ref, scal_ref,
     gvel_o,
-    r_pos, r_C, r_mass, gmass,
+    r_pos, r_vel, r_C, r_mass, gmass,
     *, config: SimConfig, legacy_strain: bool, shard: bool,
+    fixed_mult: float | None = None,
 ):
     t = pl.program_id(0)
     L = pl.num_programs(0) - 3  # local planes swept (== nx when unsharded)
@@ -163,7 +188,9 @@ def _p2g_update_kernel(
         gvel_o[:] = jnp.zeros_like(gvel_o)
         gmass[:] = jnp.zeros_like(gmass)
 
-    # ---- A-phase: P2G pass 1 for plane t (p2g_1.glsl:56-93) ----
+    # ---- A-phase: P2G pass-1 MASS scatter for plane t (p2g_1.glsl:56-93;
+    # the pass-1 APIC momentum is deferred to the B-phase, where it merges
+    # with the force scatter at zero extra accumulator traffic) ----
     @pl.when(t < L)
     def _a_phase():
         mass = mass_ref[:]
@@ -177,11 +204,12 @@ def _p2g_update_kernel(
             velp = vel_ref[:].astype(pos.dtype)
             C9 = C_ref[:].astype(pos.dtype)
             r_pos[rt] = pos
+            r_vel[rt] = velp
             r_C[rt] = C9
             g = x0 + t.astype(dtype)  # global plane coordinate
             d = _plane_geometry(pos, g, z, dtype)
 
-            def emit1(tx, ty, tz, m_p, mom_p):
+            def emit1(tx, ty, tz, m_p):
                 dx = tx - 1
                 p = t + dx + ao
                 ok = (g + dx >= 0) & (g + dx <= nx - 1)
@@ -192,11 +220,11 @@ def _p2g_update_kernel(
                 lo = h + (ty - 1) * z + (tz - 1)
 
                 @pl.when(ok)
-                def _(p=p, m_p=m_p, mom_p=mom_p, lo=lo):
+                def _(p=p, m_p=m_p, lo=lo):
                     gmass[p, lo : lo + pc] += m_p
-                    gvel_o[p, :, lo : lo + pc] += mom_p
 
-            _scatter_pass1(d, mass, velp, C9, z, emit1)
+            if not _KP_NOS1:
+                _scatter_mass(d, mass, emit1, reduce=_k_reduce(fixed_mult))
 
     # ---- B-phase: density + P2G pass 2 for plane j = t - 2 ----
     @pl.when((t >= 2) & (t - 2 < L))
@@ -214,15 +242,23 @@ def _p2g_update_kernel(
             d = _plane_geometry(pos, gj, z, dtype)
             wxy, wz_t, dists = _weight_tables(d)
 
-            density = jnp.zeros_like(mass)
-            for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
-                w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
-                p = jnp.clip(j + dx + ao, 0, L + 2 * ao - 1)
-                lo = h + oyz
-                plane = gmass[p, lo : lo + pc]
-                ok = (gj + dx >= 0) & (gj + dx <= nx - 1)
-                gm = jnp.where(ok, plane, 0.0)
-                density = density + w * gm[None, :]
+            density = jnp.zeros_like(pos[0])
+            if _KP_NODEN:
+                density = density + 1.0
+            else:
+                for tap, (dx, oyz) in zip(_TAPS3, _tap_parts(config)):
+                    w = wxy[tap[0]][tap[1]] * wz_t[tap[2]]
+                    p = jnp.clip(j + dx + ao, 0, L + 2 * ao - 1)
+                    lo = h + oyz
+                    plane = gmass[p, lo : lo + pc]
+                    ok = (gj + dx >= 0) & (gj + dx <= nx - 1)
+                    if fixed_mult is None:
+                        gm = jnp.where(ok, plane, 0.0)
+                    else:  # decode int32 grid mass (ops/fixed_point.decode)
+                        gm = jnp.where(ok, plane, 0).astype(dtype) / np.float32(
+                            fixed_mult
+                        )
+                    density = density + w * gm[None, :]
 
             safe_density = jnp.where(occ, density, 1.0)
             volume = jnp.where(occ, mass / safe_density, 0.0)
@@ -237,7 +273,8 @@ def _p2g_update_kernel(
             b_mu = coef * viscosity
 
             def emit2(tx, ty, tz, mom_p):
-                # volume (hence a_p/b_mu) is zero on empty slots — no mask
+                # mass/volume (hence both moment sets) are zero on empty
+                # slots — no mask
                 dx = tx - 1
                 p = j + dx + ao
                 ok = (gj + dx >= 0) & (gj + dx <= nx - 1)
@@ -251,7 +288,19 @@ def _p2g_update_kernel(
                 def _(p=p, mom_p=mom_p, lo=lo):
                     gvel_o[p, :, lo : lo + pc] += mom_p
 
-            _scatter_pass2(d, a_p, b_mu, C9, legacy_strain, emit2)
+            if not _KP_NOS2:
+                # merged momentum scatter: pass-1 APIC m(v + C d) + pass-2
+                # force — both are moment-form fields, so one scatter with
+                # summed moments emits both for the cost of one
+                b1, mc = _pass1_moments(d, mass, r_vel[rj], C9)
+                b2, M2 = _force_moments(d, a_p, b_mu, C9, legacy_strain)
+                bc = [b1[a] + b2[a] for a in range(3)]
+                Mc = [
+                    [mc[a][jj] + M2[a][jj] for jj in range(3)]
+                    for a in range(3)
+                ]
+                _scatter_moments(d, bc, Mc, emit2,
+                                 reduce=_k_reduce(fixed_mult))
 
     # ---- U-phase: grid update for plane q = t - 3 (update_grid.glsl) ----
     # Row-by-row, no jnp.stack: Mosaic cannot concatenate vectors whose lane
@@ -260,12 +309,16 @@ def _p2g_update_kernel(
     # sharded: only planes whose accumulated momentum is locally complete
     # are updated (local a in [1+ao, L-2+ao]); the rest arrive by exchange
     u_ok = (t >= 3) if not shard else (t >= 3 + 1) & (t - 3 <= L - 2)
+    if _KP_NOU:
+        u_ok = u_ok & (t < 0)
 
     @pl.when(u_ok)
     def _u_phase():
         q = t - 3 + ao  # accumulator plane index
         gq = x0 + (t - 3).astype(dtype)  # global plane coordinate
         gm = gmass[pl.ds(q, 1), h : h + pc]  # [1, pc]
+        if fixed_mult is not None:  # decode int32 mass (ops/grid.update_grid)
+            gm = gm.astype(dtype) / np.float32(fixed_mult)
         has = gm > 0
         safe = jnp.where(has, gm, 1.0)
 
@@ -281,7 +334,10 @@ def _p2g_update_kernel(
             (cz < lo_b) | (cz > config.grid_res[2] - 1 - hi_b),
         ]
         for i in range(3):
-            v = gvel_o[pl.ds(q, 1), i, h : h + pc] / safe + dt * scal_ref[6 + i]
+            mom = gvel_o[pl.ds(q, 1), i, h : h + pc]
+            if fixed_mult is not None:  # decode int32 momentum
+                mom = mom.astype(dtype) / np.float32(fixed_mult)
+            v = mom / safe + dt * scal_ref[6 + i]
             if config.bc == BC_SLIP:
                 v = jnp.where(bands[i], 0.0, v)
             elif config.bc == BC_STICK:
@@ -296,13 +352,17 @@ def _p2g_update_kernel(
                         v = v * jnp.where(bands[a], config.friction, 1.0)
             else:
                 raise ValueError(f"unknown bc flavor: {config.bc}")
-            gvel_o[pl.ds(q, 1), i, h : h + pc] = jnp.where(has, v, 0.0)
+            v = jnp.where(has, v, 0.0)
+            if fixed_mult is not None:  # re-encode: grid velocity stays i32
+                v = jnp.trunc(v * np.float32(fixed_mult)).astype(jnp.int32)
+            gvel_o[pl.ds(q, 1), i, h : h + pc] = v
 
 
 def p2g_update_supported(config: SimConfig) -> bool:
-    """Same envelope as the F kernel: 3D float, 128-divisible planes, and the
-    full padded grid-velocity + accumulator + rings fit VMEM."""
-    if config.dim != 3 or config.fixed_point:
+    """Same envelope as the F kernel: 3D, 128-divisible planes, and the
+    full padded grid-velocity + accumulator + rings fit VMEM. Fixed-point
+    configs run the same sweep with int32 accumulators (same byte count)."""
+    if config.dim != 3:
         return False
     pc = config.grid_res[1] * config.grid_res[2]
     if pc % 128 != 0:
@@ -311,7 +371,7 @@ def p2g_update_supported(config: SimConfig) -> bool:
     k = config.bin_capacity
     pcp = pc + 2 * _halo(config)
     grid_bytes = nx * 4 * pcp * 4
-    ring_bytes = 3 * 13 * k * pc * 4
+    ring_bytes = 3 * 16 * k * pc * 4  # pos 3 + vel 3 + C 9 + mass 1
     blocks = 2 * 16 * k * pc * 4
     return grid_bytes + ring_bytes + blocks <= 100 * 2**20
 
@@ -366,6 +426,8 @@ def p2g_update_pallas(
         jnp.asarray(0.0 if x0 is None else x0, dtype),
     ])
 
+    fixed_mult = config.fixed_point_mult if config.fixed_point else None
+    acc_dtype = jnp.int32 if config.fixed_point else dtype
     n_acc = L + 2 * ao
     (gvel,) = pl.pallas_call(
         functools.partial(
@@ -373,6 +435,7 @@ def p2g_update_pallas(
             config=config,
             legacy_strain=config.legacy_strain,
             shard=shard,
+            fixed_mult=fixed_mult,
         ),
         grid=(L + 3,),
         in_specs=[
@@ -388,12 +451,13 @@ def p2g_update_pallas(
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=(jax.ShapeDtypeStruct((n_acc, 3, pc + 2 * h), dtype),),
+        out_shape=(jax.ShapeDtypeStruct((n_acc, 3, pc + 2 * h), acc_dtype),),
         scratch_shapes=[
+            pltpu.VMEM((3, 3, k, pc), dtype),
             pltpu.VMEM((3, 3, k, pc), dtype),
             pltpu.VMEM((3, 9, k, pc), dtype),
             pltpu.VMEM((3, k, pc), dtype),
-            pltpu.VMEM((n_acc, pc + 2 * h), dtype),
+            pltpu.VMEM((n_acc, pc + 2 * h), acc_dtype),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -415,18 +479,24 @@ def p2g_update_pallas(
 # particle's pass-2 force needs its DENSITY, which gathers grid mass from
 # one plane away — so exact force at plane g needs exact mass at g+-1,
 # i.e. particles from g-2..g+2. With 2-plane state halos that chain breaks.
-# The sharded path therefore splits at the natural exchange point: pass 1
-# accumulates mass+momentum (exact on [x0+1, x0+loc_x+2] of the padded
-# slab's accumulator), the neighbors' exact planes replace the stale ends,
-# and pass 2 + grid update then see exact density everywhere they need it.
+# The sharded path therefore splits at the natural exchange point: stage 1
+# accumulates MASS (exact on [x0+1, x0+loc_x+2] of the padded slab's
+# accumulator), the neighbors' exact planes replace the stale ends, and
+# stage 2 then sees exact density everywhere it needs it and emits ALL
+# momentum (merged pass-1 APIC + pass-2 force) from the padded slab's own
+# exact state — identical formulas on identical exchanged state on both
+# sides of a boundary, so no momentum exchange is needed at all.
 
 
 def _p2g1_shard_kernel(
-    pos_ref, vel_ref, C_ref, mass_ref, scal_ref,
-    gmass_o, gmom_o,
-    *, config: SimConfig,
+    pos_ref, mass_ref, scal_ref,
+    gmass_o,
+    *, config: SimConfig, fixed_mult: float | None = None,
 ):
-    """Pass 1 only (A-phase of _p2g_update_kernel), halo-mode accumulators."""
+    """Pass-1 MASS scatter only (A-phase of _p2g_update_kernel), halo-mode
+    accumulator. Momentum is deferred to the merged B-phase of the stage-2
+    kernel — which removes the [L+2, 3, pcp] gmom ICI exchange entirely
+    (stage 2 emits momentum from the padded slab's own exact state)."""
     t = pl.program_id(0)
     L = pl.num_programs(0)
     nx = config.grid_res[0]
@@ -439,43 +509,39 @@ def _p2g1_shard_kernel(
     @pl.when(t == 0)
     def _init():
         gmass_o[:] = jnp.zeros_like(gmass_o)
-        gmom_o[:] = jnp.zeros_like(gmom_o)
 
     mass = mass_ref[:]
 
     @pl.when(jnp.max(mass) > 0)
     def _occupied():
         pos = pos_ref[:]
-        velp = vel_ref[:].astype(pos.dtype)
-        C9 = C_ref[:].astype(pos.dtype)
         g = x0 + t.astype(dtype)
         d = _plane_geometry(pos, g, z, dtype)
 
-        def emit1(tx, ty, tz, m_p, mom_p):
+        def emit1(tx, ty, tz, m_p):
             dx = tx - 1
             p = jnp.clip(t + dx + 1, 0, L + 1)
             ok = (g + dx >= 0) & (g + dx <= float(nx - 1))
             lo = h + (ty - 1) * z + (tz - 1)
 
             @pl.when(ok)
-            def _(p=p, m_p=m_p, mom_p=mom_p, lo=lo):
+            def _(p=p, m_p=m_p, lo=lo):
                 gmass_o[p, lo : lo + pc] += m_p
-                gmom_o[p, :, lo : lo + pc] += mom_p
 
-        _scatter_pass1(d, mass, velp, C9, z, emit1)
+        _scatter_mass(d, mass, emit1, reduce=_k_reduce(fixed_mult))
 
 
 def _p2g2u_shard_kernel(
-    pos_ref, C_ref, mass_ref, gmass_ref, scal_ref, gmom_in_ref,
+    pos_ref, vel_ref, C_ref, mass_ref, gmass_ref, scal_ref,
     gvel_o,
     *, config: SimConfig, legacy_strain: bool,
+    fixed_mult: float | None = None,
 ):
-    # gmom_in_ref is aliased onto gvel_o (input_output_aliases) — the pass-1
-    # momentum is accumulated into in place
-    """Pass 2 + grid update with EXACT (exchanged) grid mass: B for plane t
-    runs immediately (no lag — density needs no local accumulation), U for
-    plane t-2 once its force contributions are in. gvel_o arrives holding
-    the exchanged pass-1 momentum and is updated in place."""
+    """Merged momentum (pass-1 APIC + pass-2 force) + grid update with EXACT
+    (exchanged) grid mass: B for plane t runs immediately (density needs no
+    local accumulation), U for plane t-2 once its momentum contributions are
+    in. All momentum is emitted here from the padded slab's own exact state,
+    so no pass-1 momentum exchange exists."""
     t = pl.program_id(0)
     L = pl.num_programs(0) - 2
     nx = config.grid_res[0]
@@ -492,6 +558,10 @@ def _p2g2u_shard_kernel(
     floor = scal_ref[5]
     x0 = scal_ref[9]
 
+    @pl.when(t == 0)
+    def _init():
+        gvel_o[:] = jnp.zeros_like(gvel_o)
+
     @pl.when(t < L)
     def _b_phase():
         mass = mass_ref[:]
@@ -499,6 +569,7 @@ def _p2g2u_shard_kernel(
         @pl.when(jnp.max(mass) > 0)
         def _occupied():
             pos = pos_ref[:]
+            velp = vel_ref[:].astype(pos.dtype)
             C9 = C_ref[:].astype(pos.dtype)
             occ = mass > 0
             gj = x0 + t.astype(dtype)
@@ -512,7 +583,12 @@ def _p2g2u_shard_kernel(
                 lo = h + oyz
                 plane = gmass_ref[p, lo : lo + pc]
                 ok = (gj + dx >= 0) & (gj + dx <= float(nx - 1))
-                gm = jnp.where(ok, plane, 0.0)
+                if fixed_mult is None:
+                    gm = jnp.where(ok, plane, 0.0)
+                else:
+                    gm = jnp.where(ok, plane, 0).astype(dtype) / np.float32(
+                        fixed_mult
+                    )
                 density = density + w * gm[None, :]
 
             safe_density = jnp.where(occ, density, 1.0)
@@ -537,7 +613,13 @@ def _p2g2u_shard_kernel(
                 def _(p=p, mom_p=mom_p, lo=lo):
                     gvel_o[p, :, lo : lo + pc] += mom_p
 
-            _scatter_pass2(d, a_p, b_mu, C9, legacy_strain, emit2)
+            b1, mc = _pass1_moments(d, mass, velp, C9)
+            b2, M2 = _force_moments(d, a_p, b_mu, C9, legacy_strain)
+            bc = [b1[a] + b2[a] for a in range(3)]
+            Mc = [
+                [mc[a][jj] + M2[a][jj] for jj in range(3)] for a in range(3)
+            ]
+            _scatter_moments(d, bc, Mc, emit2, reduce=_k_reduce(fixed_mult))
 
     # U for accumulator plane a = t - 2 + 1, locally complete a in [2, L-1]
     @pl.when((t >= 3) & (t - 2 <= L - 2))
@@ -545,6 +627,8 @@ def _p2g2u_shard_kernel(
         q = t - 1  # accumulator index (= state plane (t-2) + 1)
         gq = x0 + (t - 2).astype(dtype)
         gm = gmass_ref[pl.ds(q, 1), h : h + pc]
+        if fixed_mult is not None:
+            gm = gm.astype(dtype) / np.float32(fixed_mult)
         has = gm > 0
         safe = jnp.where(has, gm, 1.0)
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, pc), 1)
@@ -558,7 +642,10 @@ def _p2g2u_shard_kernel(
             (cz < lo_b) | (cz > config.grid_res[2] - 1 - hi_b),
         ]
         for i in range(3):
-            v = gvel_o[pl.ds(q, 1), i, h : h + pc] / safe + dt * scal_ref[6 + i]
+            mom = gvel_o[pl.ds(q, 1), i, h : h + pc]
+            if fixed_mult is not None:
+                mom = mom.astype(dtype) / np.float32(fixed_mult)
+            v = mom / safe + dt * scal_ref[6 + i]
             if config.bc == BC_SLIP:
                 v = jnp.where(bands[i], 0.0, v)
             elif config.bc == BC_STICK:
@@ -571,7 +658,10 @@ def _p2g2u_shard_kernel(
                         v = v * jnp.where(bands[a], config.friction, 1.0)
             else:
                 raise ValueError(f"unknown bc flavor: {config.bc}")
-            gvel_o[pl.ds(q, 1), i, h : h + pc] = jnp.where(has, v, 0.0)
+            v = jnp.where(has, v, 0.0)
+            if fixed_mult is not None:
+                v = jnp.trunc(v * np.float32(fixed_mult)).astype(jnp.int32)
+            gvel_o[pl.ds(q, 1), i, h : h + pc] = v
 
 
 def _scals10(fp: FluidParams, dtype, x0) -> jax.Array:
@@ -591,8 +681,8 @@ def _scals10(fp: FluidParams, dtype, x0) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
 def p2g1_shard_pallas(state, fp, config: SimConfig, x0, interpret=False):
-    """Pass 1 over a padded slab of L planes -> (gmass [L+2, pcp],
-    gmom [L+2, 3, pcp]); exact on accumulator planes [2, L-1]."""
+    """Pass-1 mass scatter over a padded slab of L planes -> gmass
+    [L+2, pcp]; exact on accumulator planes [2, L-1]."""
     dim, k, c = state.pos.shape
     z = config.grid_res[2]
     pc = config.grid_res[1] * z
@@ -610,40 +700,39 @@ def p2g1_shard_pallas(state, fp, config: SimConfig, x0, interpret=False):
 
         return pl.BlockSpec((*lead, k, pc), index, memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        functools.partial(_p2g1_shard_kernel, config=config),
+    acc_dtype = jnp.int32 if config.fixed_point else dtype
+    (gmass,) = pl.pallas_call(
+        functools.partial(
+            _p2g1_shard_kernel, config=config,
+            fixed_mult=config.fixed_point_mult if config.fixed_point else None,
+        ),
         grid=(L,),
         in_specs=[
             in_plane((3,)),
-            in_plane((3,)),
-            in_plane((9,)),
             in_plane(()),
             pl.BlockSpec((10,), lambda t: (0,), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             pl.BlockSpec((L + 2, pc + 2 * h), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L + 2, 3, pc + 2 * h), lambda t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((L + 2, pc + 2 * h), dtype),
-            jax.ShapeDtypeStruct((L + 2, 3, pc + 2 * h), dtype),
+            jax.ShapeDtypeStruct((L + 2, pc + 2 * h), acc_dtype),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024
         ),
-    )(state.pos, state.vel, state.C.reshape(9, k, c), state.mass,
-      _scals10(fp, dtype, x0))
+    )(state.pos, state.mass, _scals10(fp, dtype, x0))
+    return gmass
 
 
 @functools.partial(jax.jit, static_argnames=("config", "interpret"))
-def p2g2u_shard_pallas(state, gmass, gmom, fp, config: SimConfig, x0,
+def p2g2u_shard_pallas(state, gmass, fp, config: SimConfig, x0,
                        interpret=False):
-    """Pass 2 + grid update over a padded slab with EXACT exchanged gmass;
-    gmom arrives holding the exchanged pass-1 momentum and leaves as grid
-    velocity (exact on accumulator planes [2, L-1])."""
+    """Merged momentum (pass-1 APIC + pass-2 force) + grid update over a
+    padded slab with EXACT exchanged gmass -> grid velocity (exact on
+    accumulator planes [2, L-1])."""
     dim, k, c = state.pos.shape
     z = config.grid_res[2]
     pc = config.grid_res[1] * z
@@ -665,28 +754,29 @@ def p2g2u_shard_pallas(state, gmass, gmom, fp, config: SimConfig, x0,
         shape, lambda t: (0,) * len(shape), memory_space=pltpu.VMEM
     )
 
+    acc_dtype = jnp.int32 if config.fixed_point else dtype
     (gvel,) = pl.pallas_call(
         functools.partial(
             _p2g2u_shard_kernel,
             config=config,
             legacy_strain=config.legacy_strain,
+            fixed_mult=config.fixed_point_mult if config.fixed_point else None,
         ),
         grid=(L + 2,),
         in_specs=[
+            in_plane((3,)),
             in_plane((3,)),
             in_plane((9,)),
             in_plane(()),
             fixed((L + 2, pc + 2 * h)),
             pl.BlockSpec((10,), lambda t: (0,), memory_space=pltpu.SMEM),
-            fixed((L + 2, 3, pc + 2 * h)),
         ],
         out_specs=(fixed((L + 2, 3, pc + 2 * h)),),
-        out_shape=(jax.ShapeDtypeStruct((L + 2, 3, pc + 2 * h), dtype),),
-        input_output_aliases={5: 0},
+        out_shape=(jax.ShapeDtypeStruct((L + 2, 3, pc + 2 * h), acc_dtype),),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024
         ),
-    )(state.pos, state.C.reshape(9, k, c), state.mass, gmass,
-      _scals10(fp, dtype, x0), gmom)
+    )(state.pos, state.vel, state.C.reshape(9, k, c), state.mass, gmass,
+      _scals10(fp, dtype, x0))
     return gvel

@@ -627,16 +627,17 @@ def make_sharded_bucket_step(
         dtype = state.pos.dtype
         x0f = (ax * loc_x - 2).astype(dtype)
         padded = _exchange_state_halo(state, config, n, axis)
-        # pass 1 -> exchange mass+momentum halos (pass 2's DENSITY gathers
-        # grid mass one plane out, so exactness needs the neighbors' planes
-        # BEFORE the force pass) -> pass 2 + grid update -> exchange gvel
-        gmass, gmom = p2g1_shard_pallas(
+        # pass-1 mass -> exchange mass halos (pass 2's DENSITY gathers grid
+        # mass one plane out, so exactness needs the neighbors' planes
+        # BEFORE the force pass) -> merged momentum (pass-1 APIC + pass-2
+        # force, emitted from the padded slab's own exact state — no
+        # momentum exchange needed) + grid update -> exchange gvel
+        gmass = p2g1_shard_pallas(
             padded, fp, config, x0f, interpret=interpret
         )
         gmass = _exchange_gvel(gmass, loc_x, n, axis)
-        gmom = _exchange_gvel(gmom, loc_x, n, axis)
         gvel = p2g2u_shard_pallas(
-            padded, gmass, gmom, fp, config, x0f, interpret=interpret
+            padded, gmass, fp, config, x0f, interpret=interpret
         )
         gvel = _exchange_gvel(gvel, loc_x, n, axis)
         scals = _pack_scals(fp, interactions, dtype, x0=x0f)

@@ -87,12 +87,39 @@ def main():
         )
         return jnp.stack(counts), jnp.stack(plane_any), occ_plane
 
+    # chunk stats: movers per CH-column chunk of each plane — decides whether
+    # sub-plane select gating can skip most chunks (movers clustered at the
+    # surface y-band => contiguous chunks) or not (spread through the bulk)
+    CH = 512
+
+    @jax.jit
+    def chunk_stats(s):
+        cc = cell_coords(config, s.pos.dtype)
+        occ = s.mass > 0
+        nxt = s.pos + s.vel * fluid.dt
+        res = np.asarray(config.grid_res, np.float32).reshape(-1, 1, 1)
+        nxt = jnp.clip(nxt, config.clamp_lo, res - config.clamp_hi_offset)
+        mov_any = jnp.zeros_like(occ)
+        for a in range(3):
+            delta = jnp.floor(nxt[a]) - cc[a][None, :]
+            mov_any = mov_any | (occ & (delta != 0))
+        per_col = jnp.sum(mov_any.astype(jnp.int32), axis=0)  # [C]
+        per_chunk = per_col.reshape(-1, CH).sum(axis=1)  # [nx*pc/CH]
+        return (
+            jnp.sum((per_chunk > 0).astype(jnp.int32)),
+            per_chunk.shape[0],
+            jnp.sum(per_col > 0),
+        )
+
     for it in range(3):
         state = one(state, fluid, ())
         c, pa, occp = movers_preview(state)
         c, pa, occp = np.asarray(c), np.asarray(pa), np.asarray(occp)
         print(f"substep +{it}: movers z/y/x-ish {c.tolist()}  "
               f"planes-with-movers {pa.tolist()}/{nx}")
+        live_ch, n_ch, mov_cols = (int(x) for x in chunk_stats(state))
+        print(f"  chunks({CH} cols) with movers: {live_ch}/{n_ch}; "
+              f"columns with movers: {mov_cols}")
         if it == 0:
             print(f"  per-plane max occupancy: {occp.tolist()}")
 

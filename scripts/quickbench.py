@@ -37,7 +37,10 @@ def main():
     flags = {f: os.environ.get(f) for f in
              ("MPM_FUSED_GATE", "MPM_FUSED_NOMIG", "MPM_FUSED_NOG2P",
               "MPM_FUSED_NOP2G1", "MPM_FUSED_NOP2G2",
-              "MPM_PALLAS_OLD", "MPM_DT0")}
+              "MPM_KP_NOS1", "MPM_KP_NOS2", "MPM_KP_NODEN", "MPM_KP_NOU",
+              "MPM_SELECT_CHUNK", "MPM_FORCE_LIVE",
+              "MPM_PALLAS_OLD", "MPM_DT0")
+             if os.environ.get(f)}
     if os.environ.get("MPM_DT0", "0") == "1":  # static fluid: isolates the
         fluid = fluid.replace(dt=0.0)          # no-churn select cost
     print(f"# {n} particles, grid {config.grid_res}, K={k}, flags {flags}")

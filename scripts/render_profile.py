@@ -102,6 +102,44 @@ def main():
     full = jax.jit(lambda p, v: render_frame(p, v, view, rc))
     img = timeit("FULL render_frame", full, pos, vmag)
 
+    # ---- production bucket path (extract kernel + cell z-buffer) ----
+    from mpm_tpu.render.extract_kernel import extract_cell_splats
+    from mpm_tpu.render.pipeline import render_frame_buckets
+    from mpm_tpu.render.background import render_background
+    from mpm_tpu.render import splat as _sp
+
+    print("# bucket path:")
+    cells = timeit(
+        "cell extract (pallas)",
+        jax.jit(lambda s: extract_cell_splats(s, view, cam)), state,
+    )
+    bufs_b = timeit(
+        "splat_cells (z-buffer)",
+        jax.jit(lambda c: _sp.splat_cells(
+            c, cam, sphere_radius=rc.ssfr.particle_sphere_radius,
+            max_radius_px=rc.max_radius_px)),
+        cells,
+    )
+    timeit("bilateral blur", blur_stage, bufs_b.depth)
+    timeit(
+        "background (ray trace)",
+        jax.jit(lambda v: render_background(cam, v, rc.background)), view,
+    )
+    bgc, bgd = render_background(cam, view, rc.background)
+    from mpm_tpu.render.background import make_cubemap_sampler
+
+    sampler = make_cubemap_sampler(None)
+    timeit(
+        "shade",
+        jax.jit(lambda d, c, zd: _ssfr.shade(
+            d, c, zd, sampler, view[:3, :3], rc.ssfr, cam)[0]),
+        blur_stage(bufs_b.depth), bgc, bgd,
+    )
+    timeit(
+        "FULL render_frame_buckets",
+        jax.jit(lambda s, v: render_frame_buckets(s, v, rc)), state, view,
+    )
+
     t0 = time.perf_counter()
     for _ in range(5):
         host = np.asarray(img)

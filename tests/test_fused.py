@@ -67,6 +67,99 @@ def test_cfl_clamp_keeps_invariant_and_counts():
         assert np.all(np.abs(d[occ]) < 0.5 + 1e-6), f"axis {a}: {np.abs(d[occ]).max()}"
 
 
+def test_chunked_select_matches_bucketed():
+    """Sub-plane select gating (fused._CHUNK, default 512): planes with
+    pc > 512 run the migration selects per column span, skipping mover-free
+    spans. Must stay slot-identical to the XLA engine — this grid
+    (16, 16, 64), pc = 1024 = 2 chunks, is the smallest config that
+    exercises the chunked path (the other tests' 16^3 grids fall back to
+    full-plane selects)."""
+    from mpm_tpu.core.params import SimConfig
+    from mpm_tpu.core.state import make_state
+    from mpm_tpu.models.emitters import box_lattice
+    from mpm_tpu.core.params import FluidParams
+
+    assert fused._CHUNK == 512  # test assumes the production default
+    pos = box_lattice((16, 16, 64), (8.0, 8.0, 24.0), 0.9)
+    config = SimConfig(
+        grid_res=(16, 16, 64),
+        num_particles=pos.shape[0],
+        substeps=2,
+        clamp_lo=2.0,
+        clamp_hi_offset=2.0,
+        wall_min=3.0,
+        wall_max_offset=3.0,
+        wall_stiffness=1.0,
+        bin_capacity=8,
+    )
+    fluid = FluidParams.create(dim=3, eos_stiffness=1.0, eos_power=7.0)
+    b = jax.jit(lambda s: bucketed.from_simstate(s, config))(make_state(pos))
+    s_x, s_f = b, b
+    for _ in range(3):
+        s_x = jax.jit(lambda b, f: bucketed.substep(b, config, f, ()))(s_x, fluid)
+        s_f = fused.substep_fused(s_f, config, fluid, (), interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_x.ids), np.asarray(s_f.ids))
+    np.testing.assert_allclose(np.asarray(s_x.pos), np.asarray(s_f.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_x.vel), np.asarray(s_f.vel), atol=1e-5)
+    assert int(s_f.lost) == int(s_x.lost) == 0
+
+
+def _small_fixed():
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = sc.config.replace(bin_capacity=8, fixed_point=True)
+    return config, sc.fluid, sc.state
+
+
+def test_fused_fixed_point_runs_production_path():
+    """S4-style fixed-point configs must run the Pallas kernels P + F (int32
+    grid accumulators, p2g_1.glsl:87-90), not the XLA fallback, and track the
+    XLA bucketed fixed-point engine closely (the two engines factor per-tap
+    contributions differently, so agreement is tolerance-level; bit-level
+    guarantees are across permutations/shards WITHIN an engine, below)."""
+    config, fluid, state = _small_fixed()
+    assert fused.fused_supported(config)  # the dispatch gate now accepts S4
+    from mpm_tpu.ops.pallas.p2g_fused import p2g_update_supported
+
+    assert p2g_update_supported(config)
+    b = jax.jit(lambda s: bucketed.from_simstate(s, config))(state)
+    s_x, s_f = b, b
+    for _ in range(3):
+        s_x = jax.jit(lambda b, f: bucketed.substep(b, config, f, ()))(s_x, fluid)
+        s_f = fused.substep_fused(s_f, config, fluid, (), interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_x.ids), np.asarray(s_f.ids))
+    np.testing.assert_allclose(np.asarray(s_x.pos), np.asarray(s_f.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_x.vel), np.asarray(s_f.vel), atol=1e-4)
+    assert int(s_f.lost) == int(s_x.lost) == 0
+
+
+def test_fused_fixed_point_permutation_bit_exact():
+    """int32 grid accumulation commutes exactly and every per-particle
+    contribution is slot-intrinsic, so the Pallas fixed-point substep must be
+    BIT-identical across particle input permutations (the reference's
+    order-insensitive atomicAdd guarantee, MLSMPM3DFluidMultithreadNew.cs:336)."""
+    config, fluid, state = _small_fixed()
+    rng = np.random.default_rng(42)
+    perm = jnp.asarray(rng.permutation(state.num_particles))
+    state_p = state.permute(perm)
+
+    def run(s0):
+        b = jax.jit(lambda s: bucketed.from_simstate(s, config))(s0)
+        for _ in range(3):
+            b = fused.substep_fused(b, config, fluid, (), interpret=True)
+        # overflow rejection picks victims by slot rank, which IS
+        # order-sensitive — bit-exactness across permutations is claimed
+        # (and tested) for overflow-free steps only
+        assert int(b.deferred) == 0 and int(b.lost) == 0
+        return bucketed.to_simstate(b, config.num_particles).by_id()
+
+    a = run(state)
+    c = run(state_p)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(c.ids))
+    np.testing.assert_array_equal(np.asarray(a.pos), np.asarray(c.pos))
+    np.testing.assert_array_equal(np.asarray(a.vel), np.asarray(c.vel))
+    np.testing.assert_array_equal(np.asarray(a.C), np.asarray(c.C))
+
+
 def test_bf16_storage_engines_match():
     """bf16 vel/C storage: arithmetic stays f32 and rounding happens at the
     same points in both engines, so XLA and fused stay slot-identical."""

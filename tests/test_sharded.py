@@ -2,6 +2,8 @@
 (conftest sets xla_force_host_platform_device_count=8 — the TPU analogue of
 multi-node tests without a cluster, SURVEY.md §4)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -75,6 +77,70 @@ def test_sharded_fixed_point_bit_exact():
 
 def test_dryrun_entrypoint():
     domain.demo_sharded_step(4)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("MPM_SLOW_TESTS"),
+    reason="minutes-long interpret-mode run; set MPM_SLOW_TESTS=1",
+)
+def test_sharded_bucket_scene_scale():
+    """Slot-exactness at a REAL scene scale (VERDICT r2 #7a: the other
+    sharded tests run 16^3/~500 particles): the reference flagship scene —
+    157k particles on the full 64^3 grid — on the 8-virtual-device mesh for
+    two frames must match the single-device fused path slot-for-slot with
+    zero loss. Interpret-mode Pallas on CPU: ~ minutes, marked slow."""
+    from mpm_tpu.ops import bucketed
+    from mpm_tpu.ops.pallas import fused
+
+    sc = fluid_3d()  # 157,464 particles, 64^3, K=16
+    config = sc.config.replace(substeps=2)
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+
+    s_ref = b0
+    for _ in range(4):
+        s_ref = fused.substep_fused(s_ref, config, sc.fluid, (), interpret=True)
+
+    mesh = _mesh(8)
+    step = domain.make_sharded_bucket_step(config, mesh, substeps=2, interpret=True)
+    s_sh = domain.shard_bucket_state(b0, mesh)
+    for _ in range(2):
+        s_sh = step(s_sh, sc.fluid, ())
+
+    np.testing.assert_array_equal(np.asarray(s_sh.ids), np.asarray(s_ref.ids))
+    np.testing.assert_allclose(
+        np.asarray(s_sh.pos), np.asarray(s_ref.pos), atol=1e-6
+    )
+    assert int(s_sh.lost) == int(s_ref.lost) == 0
+    live = int((np.asarray(s_sh.mass) > 0).sum())
+    assert live == sc.state.num_particles
+
+
+def test_sharded_bucket_pallas_fixed_point_bit_exact():
+    """Fixed-point on the PRODUCTION kernels: slab-sharded Pallas P + F with
+    int32 grid accumulators must be BIT-identical to the single-device fused
+    substep — int32 partial accumulation is exact, and the exchanged halo
+    planes replace (never re-sum) local ones, so no rounding can differ."""
+    from mpm_tpu.ops import bucketed
+    from mpm_tpu.ops.pallas import fused
+
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = sc.config.replace(bin_capacity=8, fixed_point=True)
+    fluid = sc.fluid
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+
+    s_ref = b0
+    for _ in range(3):
+        s_ref = fused.substep_fused(s_ref, config, fluid, (), interpret=True)
+
+    mesh = _mesh(4)
+    step = domain.make_sharded_bucket_step(config, mesh, substeps=3, interpret=True)
+    s_sh = step(domain.shard_bucket_state(b0, mesh), fluid, ())
+
+    np.testing.assert_array_equal(np.asarray(s_sh.ids), np.asarray(s_ref.ids))
+    np.testing.assert_array_equal(np.asarray(s_sh.pos), np.asarray(s_ref.pos))
+    np.testing.assert_array_equal(np.asarray(s_sh.vel), np.asarray(s_ref.vel))
+    np.testing.assert_array_equal(np.asarray(s_sh.C), np.asarray(s_ref.C))
+    assert int(s_sh.lost) == int(s_ref.lost) == 0
 
 
 @pytest.mark.parametrize("n_dev", [4, 8])
