@@ -103,16 +103,20 @@ def main():
     import functools
 
     from mpm_tpu.render import RenderConfig, Camera, default_view, write_png
-    from mpm_tpu.render.pipeline import render_frame_buckets
+    from mpm_tpu.render.pipeline import frame_to_u8, render_frame_buckets
 
     substeps = scene.config.substeps  # 2, the reference flagship's rate
     fstep = make_step(scene.config, mode=mode, substeps=substeps)
     rc = RenderConfig(camera=Camera(width=640, height=360))
     view = default_view(scene.config.grid_res)
-    renderer = jax.jit(functools.partial(
-        render_frame_buckets, rc=rc,
-        interpret=jax.default_backend() == "cpu",
-    ))
+    # NOTE: at 640x360 the background is NOT pre-cached — XLA fuses the
+    # recomputation into its consumers and caching measured as a wash
+    # (scripts/render_profile.py); the CLI caches it at >= 720p.
+    # Frames leave the device as u8 (frame_to_u8): the tunnel moves
+    # ~35 MB/s, so the f32 frame transfer would dominate the loop.
+    renderer = jax.jit(lambda s, v: frame_to_u8(render_frame_buckets(
+        s, v, rc=rc, interpret=jax.default_backend() == "cpu",
+    )))
     outdir = tempfile.mkdtemp(prefix="bench_frames_")
     pool = ThreadPoolExecutor(max_workers=2)
 
@@ -131,8 +135,11 @@ def main():
             state = fstep(state, scene.fluid, ())
             img = renderer(state, view)
             if prev is not None:
+                # transfer + encode both on the worker: the main loop never
+                # blocks on the tunnel
                 pending.append(pool.submit(
-                    write_png, f"{outdir}/f_{i:03d}.png", np.asarray(prev)
+                    lambda img=prev, i=i: write_png(
+                        f"{outdir}/f_{i:03d}.png", np.asarray(img))
                 ))
                 if len(pending) > 2:
                     pending.pop(0).result()

@@ -351,17 +351,32 @@ def cmd_render(args):
         import functools as _ft
 
         from .render import render_frame_buckets
+        from .render.pipeline import background_for_view
 
-        renderer_b = jax.jit(_ft.partial(
-            render_frame_buckets, rc=rc, cubemap_faces=cubemap,
+        from .render.pipeline import frame_to_u8
+
+        _bg = None
+        if cam.width * cam.height >= 1280 * 720:
+            # at high resolutions the per-frame ray-traced background
+            # dominates; cache it for the static camera (measured 223 ->
+            # 149 ms/frame at 1080p). At small frames XLA fuses the
+            # recomputation into its consumers and caching is a wash.
+            _bg = background_for_view(rc, view)
+        # frames leave the device as uint8 — the gamma-2.2 tonemap runs on
+        # device and the host link moves 1/4 the bytes (render/pipeline.py
+        # frame_to_u8: the f32 transfer was ~180 ms/frame of the loop)
+        renderer_b = jax.jit(lambda s, v: frame_to_u8(render_frame_buckets(
+            s, v, rc=rc, cubemap_faces=cubemap, bg=_bg,
             interpret=jax.default_backend() == "cpu",
-        ))
+        )))
     else:
         import functools as _ft
 
         from .render import render_frame
+        from .render.pipeline import frame_to_u8
 
-        renderer = jax.jit(_ft.partial(render_frame, rc=rc, cubemap_faces=cubemap))
+        renderer = jax.jit(lambda p, vm, v: frame_to_u8(
+            render_frame(p, vm, v, rc=rc, cubemap_faces=cubemap)))
 
         @jax.jit
         def extract(state):
@@ -382,27 +397,31 @@ def cmd_render(args):
     stats = FrameStats()
     inter0, inter_fn = _parse_interactions(args, scene.config)
     t0 = time.perf_counter()
-    # PNG encode+write runs on a worker thread, overlapped with the next
-    # frame's device compute (the reference's render thread separation,
-    # SURVEY.md §2.5 host<->device async)
-    pool = ThreadPoolExecutor(max_workers=2)
+    # PNG encode+write runs on worker threads, overlapped with the next
+    # frames' device compute (the reference's render thread separation,
+    # SURVEY.md §2.5 host<->device async). 4 workers: at 1080p one encode
+    # (~0.9 s native zlib) outlasts several device frames, and zlib releases
+    # the GIL, so encodes genuinely parallelize.
+    pool = ThreadPoolExecutor(max_workers=4)
     pending = []
 
     def flush(img, idx):
-        # device->host image transfer happens AFTER the next frame's compute
-        # was dispatched (jax async dispatch), so it overlaps device work;
-        # PNG encode+write then overlaps on the worker thread
-        host = np.asarray(img)
-        if args.hud:
-            from .render.hud import burn_in_hud
+        # the ENTIRE host side of a frame — device->host u8 transfer, HUD
+        # burn-in, PNG encode+write — runs on a worker thread, so the main
+        # loop never blocks on the tunnel (the reference's render-thread
+        # separation, SURVEY.md §2.5 host<->device async)
+        def _host_side(img=img, idx=idx):
+            host = np.asarray(img)
+            if args.hud:
+                from .render.hud import burn_in_hud
 
-            host = burn_in_hud(
-                host, stats, extra=f"N={scene.state.num_particles}"
-            )
-        pending.append(pool.submit(
-            write_png, os.path.join(args.out, f"frame_{idx:05d}.png"), host
-        ))
-        if len(pending) > 2:
+                host = burn_in_hud(
+                    host, stats, extra=f"N={scene.state.num_particles}"
+                )
+            write_png(os.path.join(args.out, f"frame_{idx:05d}.png"), host)
+
+        pending.append(pool.submit(_host_side))
+        if len(pending) > 4:
             pending.pop(0).result()
 
     prev = None

@@ -19,6 +19,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .background import BackgroundScene, make_cubemap_sampler, render_background
 from .camera import Camera, look_at
@@ -114,16 +115,24 @@ def render_frame_buckets(
     rc: RenderConfig,
     cubemap_faces: jax.Array | None = None,
     interpret: bool = False,
+    bg: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Bucket-state fast path: the Pallas extraction kernel reduces each
     CELL to its nearest live particle before the z-buffer sort (K times
     smaller; see render/extract_kernel.py), replacing the XLA extract +
-    per-slot argsort path. Same SSFR chain from the splat buffers on."""
+    per-slot argsort path. Same SSFR chain from the splat buffers on.
+
+    `bg`: optional precomputed (bg_color, bg_depth) — the ray-traced
+    background depends only on (camera, view), so frame loops with a static
+    camera compute it ONCE (scripts/render_profile.py measured the per-frame
+    background at ~20% of the frame) via `background_for_view`."""
     from .extract_kernel import extract_cell_splats
     from .splat import splat_cells
 
     cam = rc.camera
-    bg_color, bg_depth = render_background(cam, view, rc.background)
+    bg_color, bg_depth = (
+        bg if bg is not None else render_background(cam, view, rc.background)
+    )
     if rc.mode == RENDER_NONE:
         return bg_color
 
@@ -166,6 +175,23 @@ def make_bucket_renderer(rc: RenderConfig, interpret: bool = False) -> Callable:
     return jax.jit(
         partial(render_frame_buckets, rc=rc, interpret=interpret)
     )
+
+
+def background_for_view(rc: RenderConfig, view: jax.Array):
+    """Precompute the static-camera background once for a frame loop."""
+    return jax.jit(
+        lambda v: render_background(rc.camera, v, rc.background)
+    )(view)
+
+
+def frame_to_u8(img: jax.Array) -> jax.Array:
+    """Device-side tonemap to uint8 (same gamma-2.2 transfer as
+    image.to_uint8 / the native encoder's tonemap). Frame loops convert ON
+    DEVICE and transfer u8: the axon tunnel moves ~35 MB/s, so a 960x540
+    f32 frame is ~180 ms of pure transfer per frame — 4x that of u8 (the
+    round-3 CLI frame-time fix; the f32 transfer dominated every frame)."""
+    g = jnp.clip(img, 0.0, 1.0) ** np.float32(1.0 / 2.2)
+    return (g * 255.0 + 0.5).astype(jnp.uint8)
 
 
 def default_view(config_grid_res=(64, 64, 64)) -> jax.Array:

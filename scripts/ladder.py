@@ -59,6 +59,11 @@ def run_scene(scene, settle_chunks, windows=3, iters=100, chunk=10):
           f"device {jax.devices()[0]}")
     state = jax.jit(lambda s: bucketed.from_simstate(s, config))(
         jax.device_put(scene.state))
+    # free the particle-major SimState copy before stepping: at 16M it holds
+    # ~1 GB of HBM that the donation double-buffer then can't use (the 5w
+    # ladder row ran out of memory during settle with it retained)
+    scene = scene._replace(state=None) if hasattr(scene, "_replace") else scene
+    import gc; gc.collect()
     step = make_step(config, mode="pallas", substeps=chunk)
     t0 = time.perf_counter()
     for _ in range(settle_chunks):

@@ -139,6 +139,14 @@ def main():
         "FULL render_frame_buckets",
         jax.jit(lambda s, v: render_frame_buckets(s, v, rc)), state, view,
     )
+    from mpm_tpu.render.pipeline import background_for_view
+
+    bg = background_for_view(rc, view)
+    timeit(
+        "FULL buckets (cached bg)",
+        jax.jit(lambda s, v: render_frame_buckets(s, v, rc, bg=bg)),
+        state, view,
+    )
 
     t0 = time.perf_counter()
     for _ in range(5):

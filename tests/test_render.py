@@ -207,3 +207,35 @@ def test_lit_spheres_mode():
     bg = np.asarray(render_frame_buckets(b, view, rc_none, interpret=True))
     changed = np.abs(img - bg).max(axis=-1) > 0.05
     assert changed.mean() > 0.002  # small box, distant default camera
+
+
+def test_pallas_blur_matches_xla():
+    """The Pallas bilateral blur (render/blur_kernel.py, interpret mode on
+    CPU) must match the XLA path at equal radius caps. The kernels differ
+    only in exp factorization (exp(a)*exp(b) vs exp(a+b)) — ulp-level."""
+    from mpm_tpu.render.blur_kernel import blur_depth_pallas, blur_supported
+    from mpm_tpu.render.splat import BG_DEPTH
+    from mpm_tpu.render.ssfr import SSFRParams, bilateral_blur_1d
+
+    cam = Camera(width=256, height=64)
+    assert blur_supported(cam)
+    rng = np.random.default_rng(7)
+    depth = np.full((64, 256), BG_DEPTH, np.float32)
+    # a blob of fluid depths with structure + a hole
+    depth[10:50, 40:200] = 30.0 + rng.uniform(-2, 2, (40, 160)).astype(np.float32)
+    depth[20:25, 90:110] = 12.0  # near-camera patch (bigger adaptive radius)
+    depth = jnp.asarray(depth)
+
+    r = 6
+    params = SSFRParams(blur_tap_radius=r, max_filter_size=r)
+    ref = bilateral_blur_1d(depth, 1, params, cam)
+    ref = bilateral_blur_1d(ref, 0, params, cam)
+
+    got = blur_depth_pallas(
+        depth, cam, radius=r, max_filter=r,
+        blur_filter_size=params.blur_filter_size * params.particle_sphere_radius,
+        depth_threshold=params.particle_sphere_radius * params.blur_depth_scale,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               rtol=1e-5)
