@@ -266,6 +266,8 @@ def _render_2d_loop(args, scene, step, state, mode):
     res2 = tuple(int(r) for r in scene.config.grid_res)
     bucket = mode in ("bucketed", "pallas")
 
+    from .render.pipeline import frame_to_u8
+
     @jax.jit
     def frame_img(state):
         if bucket:
@@ -277,7 +279,8 @@ def _render_2d_loop(args, scene, step, state, mode):
             vel = state.vel.astype(jnp.float32)
             live = None
         vmag = jnp.sqrt(jnp.sum(vel * vel, axis=0))
-        return render_2d(pos, vmag, res2, live=live)
+        # u8 on device: 1/4 the host-link bytes (see frame_to_u8)
+        return frame_to_u8(render_2d(pos, vmag, res2, live=live))
 
     os.makedirs(args.out, exist_ok=True)
     inter0, inter_fn = _parse_interactions(args, scene.config)

@@ -61,6 +61,13 @@ _KP_NOS1 = os.environ.get("MPM_KP_NOS1", "0") == "1"   # skip pass-1 scatter
 _KP_NOS2 = os.environ.get("MPM_KP_NOS2", "0") == "1"   # skip pass-2 scatter
 _KP_NODEN = os.environ.get("MPM_KP_NODEN", "0") == "1"  # density := 1
 _KP_NOU = os.environ.get("MPM_KP_NOU", "0") == "1"      # skip grid update
+# Structural variant (physics-preserving): taps accumulate into ALIGNED
+# per-(ty,tz) scratch rows (a 3-plane ring) and each completed plane flushes
+# with 9 shifted row-adds instead of 27 (mass) / 81 (momentum) — the
+# round-3 "aligned-accumulate + single shifted reduction" experiment.
+# Regroups f32 partial sums (ulp-level vs the direct path; int32 fixed
+# point is exactly associative and bit-identical).
+_KP_ALIGNED = os.environ.get("MPM_KP_ALIGNED", "0") == "1"
 
 
 def _pass1_moments(d, mass, velp, C9):
@@ -161,7 +168,7 @@ def _scatter_mass(d, mass, emit, reduce=None):
 def _p2g_update_kernel(
     pos_ref, vel_ref, C_ref, mass_ref, scal_ref,
     gvel_o,
-    r_pos, r_vel, r_C, r_mass, gmass,
+    r_pos, r_vel, r_C, r_mass, gmass, a_ms, a_mo,
     *, config: SimConfig, legacy_strain: bool, shard: bool,
     fixed_mult: float | None = None,
 ):
@@ -183,10 +190,17 @@ def _p2g_update_kernel(
     floor = scal_ref[5]
     x0 = scal_ref[9]  # global plane coordinate of local plane 0 (0 unsharded)
 
+    # aligned-accumulate only on the unsharded sweep (the sharded halo
+    # planes would need their own flush schedule; direct emit there)
+    aligned = _KP_ALIGNED and not shard
+
     @pl.when(t == 0)
     def _init():
         gvel_o[:] = jnp.zeros_like(gvel_o)
         gmass[:] = jnp.zeros_like(gmass)
+        if aligned:
+            a_ms[:] = jnp.zeros_like(a_ms)
+            a_mo[:] = jnp.zeros_like(a_mo)
 
     # ---- A-phase: P2G pass-1 MASS scatter for plane t (p2g_1.glsl:56-93;
     # the pass-1 APIC momentum is deferred to the B-phase, where it merges
@@ -221,10 +235,27 @@ def _p2g_update_kernel(
 
                 @pl.when(ok)
                 def _(p=p, m_p=m_p, lo=lo):
-                    gmass[p, lo : lo + pc] += m_p
+                    if aligned:  # ALIGNED += at offset 0 of the ring row
+                        a_ms[jax.lax.rem(p, 3), ty * 3 + tz, :] += m_p
+                    else:
+                        gmass[p, lo : lo + pc] += m_p
 
             if not _KP_NOS1:
                 _scatter_mass(d, mass, emit1, reduce=_k_reduce(fixed_mult))
+
+    # ---- mass flush: plane t-1's ring rows -> 9 shifted adds (vs 27 at
+    # emit). Runs BEFORE the B-phase below, whose density gather reads
+    # gmass planes (t-3 .. t-1) ----
+    if aligned and not _KP_NOS1:
+
+        @pl.when((t >= 1) & (t - 1 < L))
+        def _flush_mass():
+            fpl = t - 1
+            r = jax.lax.rem(fpl, 3)
+            for row in range(9):
+                lo = h + (row // 3 - 1) * z + (row % 3 - 1)
+                gmass[fpl, lo : lo + pc] += a_ms[r, row, :]
+            a_ms[r] = jnp.zeros_like(a_ms[r])
 
     # ---- B-phase: density + P2G pass 2 for plane j = t - 2 ----
     @pl.when((t >= 2) & (t - 2 < L))
@@ -286,7 +317,10 @@ def _p2g_update_kernel(
 
                 @pl.when(ok)
                 def _(p=p, mom_p=mom_p, lo=lo):
-                    gvel_o[p, :, lo : lo + pc] += mom_p
+                    if aligned:  # ALIGNED += at offset 0 of the ring row
+                        a_mo[jax.lax.rem(p, 3), ty * 3 + tz] += mom_p
+                    else:
+                        gvel_o[p, :, lo : lo + pc] += mom_p
 
             if not _KP_NOS2:
                 # merged momentum scatter: pass-1 APIC m(v + C d) + pass-2
@@ -301,6 +335,20 @@ def _p2g_update_kernel(
                 ]
                 _scatter_moments(d, bc, Mc, emit2,
                                  reduce=_k_reduce(fixed_mult))
+
+    # ---- momentum flush: plane (t-3)'s ring rows -> 9 shifted [3, pc]
+    # adds (vs 27 at emit); B(t-2) above contributed its dx=-1 share this
+    # step, and the U-phase below reads the flushed plane ----
+    if aligned and not _KP_NOS2:
+
+        @pl.when((t >= 3) & (t - 3 < L))
+        def _flush_mom():
+            q = t - 3
+            r = jax.lax.rem(q, 3)
+            for row in range(9):
+                lo = h + (row // 3 - 1) * z + (row % 3 - 1)
+                gvel_o[q, :, lo : lo + pc] += a_mo[r, row]
+            a_mo[r] = jnp.zeros_like(a_mo[r])
 
     # ---- U-phase: grid update for plane q = t - 3 (update_grid.glsl) ----
     # Row-by-row, no jnp.stack: Mosaic cannot concatenate vectors whose lane
@@ -458,6 +506,10 @@ def p2g_update_pallas(
             pltpu.VMEM((3, 9, k, pc), dtype),
             pltpu.VMEM((3, k, pc), dtype),
             pltpu.VMEM((n_acc, pc + 2 * h), acc_dtype),
+            # aligned-accumulate rings (MPM_KP_ALIGNED): 9 per-(ty,tz) mass
+            # rows and 9 [3]-axis momentum rows per in-flight plane
+            pltpu.VMEM((3, 9, pc), acc_dtype),
+            pltpu.VMEM((3, 9, 3, pc), acc_dtype),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
