@@ -436,6 +436,11 @@ def cmd_render(args):
         else:
             pos, vmag = extract(state)
             img = renderer(pos, vmag, view)
+        # start the device->host DMA for this frame NOW: the tunnel transfer
+        # then overlaps the next frame's dispatch instead of serializing
+        # behind it when the worker thread finally calls np.asarray
+        # (measured 36 -> 24 ms/frame at 1M/640x360)
+        img.copy_to_host_async()
         # host work (prev-frame transfer + HUD + PNG submit/backpressure)
         # overlaps this frame's device compute; fencing on one pixel of the
         # new frame afterwards gives the device time for step+render — the
