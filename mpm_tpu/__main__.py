@@ -26,6 +26,14 @@ def _common(p):
         help="auto = pallas on TPU, bucketed on CPU",
     )
     p.add_argument("--substeps", type=int, default=None)
+    p.add_argument(
+        "--window",
+        default="off",
+        choices=["off", "auto"],
+        help="auto = air-window engine (ops/window.py): arrays track the "
+        "occupied y-range of the true domain; identical physics, air cells "
+        "stop costing DMA/VPU work (3D bucketed/pallas modes only)",
+    )
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir", default="/tmp/mpm_ckpt")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
@@ -155,20 +163,45 @@ def _build(args):
         # engine elsewhere (pallas falls back internally for unsupported
         # configs — 2D / fixed-point)
         mode = "pallas" if jax.default_backend() not in ("cpu",) else "bucketed"
-    step = make_step(scene.config, mode=mode, substeps=args.substeps)
-    if mode in ("bucketed", "pallas"):
-        state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(scene.state)
+    windowed = (
+        getattr(args, "window", "off") == "auto"
+        and scene.config.dim == 3
+        and mode in ("bucketed", "pallas")
+    )
+    if windowed:
+        # air-window engine (ops/window.py): same physics at the true
+        # domain, arrays sized to the occupied y-range. win.step has the
+        # step signature; resizes recompile the renderer per window height
+        # (cached after first use).
+        from .ops.window import YWindow
+
+        win = YWindow(scene.config, mode=mode,
+                      substeps=args.substeps or scene.config.substeps)
+        state = win.init(scene.state)
+        step = win.step
+        print(f"air-window engine: wy={win.wy} of ny={scene.config.grid_res[1]}")
     else:
-        state = jax.device_put(scene.state)
+        win = None
+        step = make_step(scene.config, mode=mode, substeps=args.substeps)
+        if mode in ("bucketed", "pallas"):
+            state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(scene.state)
+        else:
+            state = jax.device_put(scene.state)
     if args.resume:
         from .utils import checkpoint
 
         state, fluid, ck_config, _ = checkpoint.load(args.resume)
+        if windowed:
+            # window sizes are run-local: re-window the checkpoint state
+            if isinstance(state, bucketed.BucketState):
+                state = bucketed.to_simstate(
+                    state, scene.config.num_particles)
+            state = win.init(state)
         # validate the checkpoint against the selected mode/scene (ADVICE r1:
         # a binned-mode SimState resumed under bucketed mode fails at step
         # time with an opaque tracer error — fail early and converciblely)
         want_bucket = mode in ("bucketed", "pallas")
-        is_bucket = isinstance(state, bucketed.BucketState)
+        is_bucket = windowed or isinstance(state, bucketed.BucketState)
         if want_bucket and not is_bucket:
             state = jax.jit(
                 lambda s: bucketed.from_simstate(s, scene.config)
@@ -242,8 +275,11 @@ def cmd_run(args):
         lost = int(np.asarray(state.lost))
         deferred = int(np.asarray(state.deferred))
         cfl = int(np.asarray(state.cfl_clamped))
-        print(f"lost: {lost} deferred: {deferred} cfl-clamped: {cfl}")
-        metrics.log("counters", lost=lost, deferred=deferred, cfl_clamped=cfl)
+        ceil = int(np.asarray(getattr(state, "ceiling", 0)))
+        print(f"lost: {lost} deferred: {deferred} cfl-clamped: {cfl}"
+              + (f" window-ceiling: {ceil}" if ceil else ""))
+        metrics.log("counters", lost=lost, deferred=deferred, cfl_clamped=cfl,
+                    ceiling=ceil)
     metrics.log("summary", frames=args.frames, fps=round(s["fps"], 2),
                 particle_steps_per_sec=round(pps, 1))
     metrics.close()
@@ -334,6 +370,7 @@ def cmd_render(args):
         mode=args.render_mode,
         ssfr=SSFRParams(particle_sphere_radius=args.sphere_radius),
         sphere_render_ratio=args.sphere_render_ratio,
+        quality=args.render_quality,
     )
     view = jnp.asarray(default_view(scene.config.grid_res))
     os.makedirs(args.out, exist_ok=True)
@@ -501,6 +538,15 @@ def main(argv=None):
         choices=["default", "velocity_spheres", "lit_spheres", "depth_debug", "none"],
     )
     p_r.add_argument("--sphere-radius", type=float, default=1.0)
+    p_r.add_argument(
+        "--render-quality",
+        default="cell",
+        choices=["cell", "particle"],
+        help="bucket-path splat granularity: 'cell' = nearest particle per "
+        "grid cell (fast), 'particle' = z-buffer every live particle (the "
+        "reference's per-instance raster fidelity, "
+        "multi_mesh/billboard_sphere.gdshader)",
+    )
     p_r.add_argument("--sphere-render-ratio", type=float, default=1.0)
     p_r.add_argument(
         "--cubemap",

@@ -47,6 +47,18 @@ class SimConfig:
     num_particles: int = 0
     substeps: int = 2
 
+    # True physical domain resolution when the ARRAYS cover only a window of
+    # it (the air-window engine, ops/window.py): every physics POSITION —
+    # particle clamps, wall springs, grid BC bands — is computed against
+    # `domain_res`, while array extents/strides use `grid_res`. None means
+    # grid_res IS the domain (the default, every non-windowed config). The
+    # reference has no such split (its grid allocation always equals the
+    # domain, MLSMPM3DFluidMultithreadGPU.cs:43); it exists here because air
+    # cells cost real DMA+VPU work per slot on TPU (ARCHITECTURE.md
+    # "Occupancy is the cost model"), so the engine shrinks the arrays to
+    # the occupied y-range without changing the physics.
+    domain_res: tuple[int, ...] | None = None
+
     # Grid-level boundary conditions (update_grid.glsl:60-66): the velocity
     # component normal to a face is zeroed within `bc_band_lo` cells of the low
     # face and for cells with index > res - 1 - bc_band_hi on the high face.
@@ -114,6 +126,13 @@ class SimConfig:
     eos_power_static: float = 0.0
 
     # ---- derived ----
+    @property
+    def dres(self) -> tuple[int, ...]:
+        """True domain resolution: domain_res if windowed, else grid_res.
+        Use for every physics POSITION (clamps, springs, BC bands);
+        use grid_res for array extents and strides."""
+        return self.domain_res if self.domain_res is not None else self.grid_res
+
     @property
     def vc_dtype(self):
         return jnp.bfloat16 if self.storage_dtype == "bfloat16" else jnp.float32

@@ -55,3 +55,15 @@ def gather_slot_field(field: jax.Array, slots: BinnedSlots) -> jax.Array:
     guard = jnp.zeros((*field.shape[:-1], 1), field.dtype)
     padded = jnp.concatenate([field, guard], axis=-1)
     return padded[..., slots.slot_particle]
+
+
+def gather_slot_field_kc(field: jax.Array, slots: BinnedSlots) -> jax.Array:
+    """Pack a lane-major per-particle field [..., N] directly into
+    [..., K, num_cells] — the bucket-engine layout. NOT a transpose of
+    gather_slot_field: gathering with [K, C] indices keeps the big axis
+    minor, where a [..., C, K] intermediate pads K 8 -> 128 lanes under the
+    TPU's T(8,128) tiling (16x memory: a 16M-particle from_simstate OOM'd
+    on the padded [3,3,C,8] temp alone)."""
+    guard = jnp.zeros((*field.shape[:-1], 1), field.dtype)
+    padded = jnp.concatenate([field, guard], axis=-1)
+    return padded[..., slots.slot_particle.T]

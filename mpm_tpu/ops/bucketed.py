@@ -65,6 +65,13 @@ class BucketState:
     cfl_clamped: jax.Array  # [] int32 — CFL bucket-clamp events (see g2p tail)
     deferred: jax.Array  # [] int32 — moves rejected by a full destination
     # bucket and retried next substep (overflow rejection; conserves mass)
+    # y-movers rejected by the air-window CEILING band (ops/window.py): the
+    # window's top 3 planes behave as a full destination. 0 across a run
+    # certifies the windowed trajectory == the full-grid trajectory exactly
+    # (no particle ever interacted with the window edge). Always 0 for
+    # non-windowed configs.
+    ceiling: jax.Array = dataclasses.field(
+        default_factory=lambda: np.zeros((), np.int32))
 
     @property
     def dim(self) -> int:
@@ -237,7 +244,7 @@ def g2p_bucketed(
     Cmat = 4.0 * B
 
     pos = state.pos + vel * fp.dt
-    res = np.asarray(config.grid_res, np.float32).reshape(-1, 1, 1)
+    res = np.asarray(config.dres, np.float32).reshape(-1, 1, 1)
     pos = jnp.clip(pos, config.clamp_lo, res - config.clamp_hi_offset)
 
     # interactions operate on [D, M] shapes; bucket arrays broadcast fine
@@ -315,12 +322,23 @@ def reject_overflow(state: BucketState, config: SimConfig, axis: int) -> BucketS
     pr_r = shiftc(occ0, 1)[None, :] + rank_r
     pr_l = shiftc(occ0, -1)[None, :] + shiftc(nmovr, -2)[None, :] + rank_l
     rej = (movr & (pr_r >= k)) | (movl & (pr_l >= k))
+    ceiling = state.ceiling
+    if (axis == 1 and config.domain_res is not None
+            and config.grid_res[1] < config.domain_res[1]):
+        # air-window ceiling (ops/window.py): upward moves into the window's
+        # top 3 planes are rejected exactly like a full destination; counted
+        # separately so ceiling == 0 certifies window non-interference
+        band = coord >= config.grid_res[1] - 4
+        rej_ceil = movr & band[None, :] & jnp.logical_not(rej)
+        rej = rej | rej_ceil
+        ceiling = ceiling + jnp.sum(rej_ceil.astype(jnp.int32))
     pos_ax = jnp.clip(
         state.pos[axis], coord[None, :], coord[None, :] + 1.0 - CFL_EPS
     )
     new_pos = state.pos.at[axis].set(jnp.where(rej, pos_ax, state.pos[axis]))
     deferred = state.deferred + jnp.sum(rej.astype(jnp.int32))
-    return dataclasses.replace(state, pos=new_pos, deferred=deferred)
+    return dataclasses.replace(state, pos=new_pos, deferred=deferred,
+                               ceiling=ceiling)
 
 
 def _migrate_axis(state: BucketState, config: SimConfig, axis: int) -> BucketState:
@@ -413,6 +431,7 @@ def _migrate_axis(state: BucketState, config: SimConfig, axis: int) -> BucketSta
         lost=lost,
         cfl_clamped=state.cfl_clamped,
         deferred=state.deferred,
+        ceiling=state.ceiling,
     )
 
 
@@ -453,9 +472,8 @@ def from_simstate(state: SimState, config: SimConfig) -> BucketState:
     s_sorted, seg_start = binned.sort_by_cell(state, config)
     slots = binning.bin_slots(seg_start, config, s_sorted.num_particles)
 
-    def pack(field):  # [..., N] -> [..., C, K] -> [..., K, C]
-        x = binning.gather_slot_field(field, slots)
-        return jnp.swapaxes(x, -1, -2)
+    def pack(field):  # [..., N] -> [..., K, C] (big axis minor throughout)
+        return binning.gather_slot_field_kc(field, slots)
 
     mass = pack(s_sorted.mass)
     ids = jnp.where(mass > 0, pack(s_sorted.ids.astype(jnp.float32)).astype(jnp.int32), -1)

@@ -35,7 +35,7 @@ def boundary_bands(config: SimConfig) -> list[jax.Array]:
     idxs = axis_indices(config)
     return [
         (idxs[a] < config.bc_band_lo)
-        | (idxs[a] > config.grid_res[a] - 1 - config.bc_band_hi)
+        | (idxs[a] > config.dres[a] - 1 - config.bc_band_hi)
         for a in range(config.dim)
     ]
 

@@ -451,7 +451,7 @@ def substep(
 
     occ = state.mass > 0
     pos = state.pos + vel * fp.dt
-    res = np.asarray(config.grid_res, np.float32).reshape(-1, 1, 1)
+    res = np.asarray(config.dres, np.float32).reshape(-1, 1, 1)
     pos = jnp.clip(pos, config.clamp_lo, res - config.clamp_hi_offset)
     vel = apply_interactions(pos, vel, interactions)
     x_n = pos + vel
@@ -476,6 +476,7 @@ def substep(
         lost=state.lost,
         cfl_clamped=state.cfl_clamped + jnp.sum(moved.astype(jnp.int32)),
         deferred=state.deferred,
+        ceiling=state.ceiling,
     )
     from .migrate_kernels import migrate_pallas
 

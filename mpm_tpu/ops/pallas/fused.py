@@ -100,7 +100,7 @@ def _running_rank(m):
 
 
 def _reject_intra(refs, occ_all, delta_all, axis: int, z: int, hm: int,
-                  k: int, pc: int, dtype):
+                  k: int, pc: int, dtype, ceil_row: int | None = None):
     """Overflow rejection for one intra-plane phase, in place: a mover whose
     destination bucket cannot take it (conservative test: the destination's
     PRE-phase occupancy plus the mover's index among the destination's
@@ -131,10 +131,21 @@ def _reject_intra(refs, occ_all, delta_all, axis: int, z: int, hm: int,
 
     intra = jax.lax.broadcasted_iota(jnp.int32, (k, pc), 1)
     coord = (intra // z if axis == 1 else intra % z).astype(dtype)
+    n_ceil = jnp.zeros((), jnp.int32)
+    if ceil_row is not None:
+        # air-window ceiling band (ops/window.py): up-movers whose source
+        # row is ceil_row-1 (dest in the window's top 3 planes) are rejected
+        # like a full destination; counted separately — 0 certifies window
+        # non-interference. Mirrors ops/bucketed.reject_overflow exactly.
+        assert axis == 1
+        rej_ceil = (c(movr, 0, hm) & (coord >= float(ceil_row - 1))
+                    & jnp.logical_not(rej))
+        rej = rej | rej_ceil
+        n_ceil = jnp.sum(rej_ceil.astype(jnp.int32))
     pos_c = c(refs["pos"][:][axis], 0, hm)
     clamped = jnp.clip(pos_c, coord, coord + 1.0 - _CFL_EPS)
     refs["pos"][axis, :, hm : hm + pc] = jnp.where(rej, clamped, pos_c)
-    return jnp.sum(rej.astype(jnp.int32))
+    return jnp.sum(rej.astype(jnp.int32)), n_ceil
 
 
 # ------------------------------------------------------------------ kernel F
@@ -207,7 +218,7 @@ def _gated_select(k, ranks, total, fields, write, zero_all: bool):
 
 def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
                  add_lost, add_defer, zero_all: bool = False, bulk_write=None,
-                 chunk: int = 0):
+                 chunk: int = 0, ceil_row: int | None = None, add_ceil=None):
     """One intra-plane (z or y) migration phase on VMEM-resident scratch.
 
     refs: dict of full-width padded VMEM refs {pos [3,K,pcp], vel,
@@ -261,9 +272,11 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
         add_lost(_gated_select(k, ranks, total, fields, write, zero_all))
 
     def rejected_src():
-        add_defer(
-            _reject_intra(refs, occ_all0, delta_all0, axis, z, hm, k, pc, dtype)
-        )
+        n_rej, n_ceil = _reject_intra(refs, occ_all0, delta_all0, axis, z,
+                                      hm, k, pc, dtype, ceil_row=ceil_row)
+        add_defer(n_rej)
+        if ceil_row is not None:
+            add_ceil(n_ceil)
         src = {name: refs[name][:] for name in ("pos", "vel", "C", "mass", "ids")}
         occ_all, delta_all = _intra_occ_delta(
             src["pos"], src["mass"], axis, z, hm, dtype
@@ -319,6 +332,7 @@ def _fused_kernel(
     pos_ref, mass_ref, ids_ref, gv_m_ref, gv_c_ref, gv_p_ref, scal_ref,
     # outputs
     pos_o, vel_o, C_o, mass_o, ids_o, lost_ref, clamp_ref, defer_ref,
+    ceil_ref,
     # scratch
     tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
     tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
@@ -335,7 +349,11 @@ def _fused_kernel(
     hm = _mig_halo(z)          # migration temp padding
     k = mass_ref.shape[0]
     dtype = pos_ref.dtype
-    res = [float(r) for r in config.grid_res]
+    res = [float(r) for r in config.dres]  # physics bounds: TRUE domain
+    # air-window ceiling: first banned destination row along y (ops/window.py)
+    ceil_row = (config.grid_res[1] - 3
+                if (config.domain_res is not None
+                    and config.grid_res[1] < config.domain_res[1]) else None)
     x0 = scal_ref[1 + 7 * max(n_inter, 1)]  # global coord of local plane 0
     # sharded: counter events on redundantly-computed halo planes belong to
     # the neighbor that owns them — count interior planes only
@@ -346,6 +364,7 @@ def _fused_kernel(
         lost_ref[0, 0] = 0
         clamp_ref[0, 0] = 0
         defer_ref[0, 0] = 0
+        ceil_ref[0, 0] = 0
         # halo columns of the migration temps and the "plane -1" ring slot
         # are consumed (occupancy-masked) before ever being written — zero
         # them so uninitialized VMEM can't leak garbage into the selects
@@ -566,6 +585,9 @@ def _fused_kernel(
             def add_defer(v):
                 defer_ref[0, 0] += jnp.where(in_interior, v, 0)
 
+            def add_ceil(v):
+                ceil_ref[0, 0] += jnp.where(in_interior, v, 0)
+
             _intra_phase(refsA, write_B, 2, z, hm, k, dtype, add_lost,
                          add_defer, bulk_write=bulk_B, chunk=_CHUNK)
 
@@ -588,7 +610,8 @@ def _fused_kernel(
             refsB = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
                      "mass": tB_mass, "ids": tB_ids}
             _intra_phase(refsB, write_ring, 1, z, hm, k, dtype, add_lost,
-                         add_defer, bulk_write=bulk_ring, chunk=_CHUNK)
+                         add_defer, bulk_write=bulk_ring, chunk=_CHUNK,
+                         ceil_row=ceil_row, add_ceil=add_ceil)
 
         # x-mover census of the zy-settled plane, for overflow rejection in
         # the output phase (a left-mover's acceptance at plane j-1 needs the
@@ -863,7 +886,7 @@ def _g2p_migrate_fused(
 
     smem_counter = pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
 
-    pos, vel, C9, mass, ids, lost, clamped, deferred = pl.pallas_call(
+    pos, vel, C9, mass, ids, lost, clamped, deferred, ceil = pl.pallas_call(
         functools.partial(
             _fused_kernel, config=config, n_inter=n_inter, shard=shard,
             fixed_mult=config.fixed_point_mult if config.fixed_point else None,
@@ -888,6 +911,7 @@ def _g2p_migrate_fused(
             smem_counter,
             smem_counter,
             smem_counter,
+            smem_counter,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((3, k, c), dtype),
@@ -895,6 +919,7 @@ def _g2p_migrate_fused(
             jax.ShapeDtypeStruct((9, k, c), state.C.dtype),
             jax.ShapeDtypeStruct((k, c), dtype),
             jax.ShapeDtypeStruct((k, c), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -932,6 +957,7 @@ def _g2p_migrate_fused(
         lost=state.lost + lost[0, 0],
         cfl_clamped=state.cfl_clamped + clamped[0, 0],
         deferred=state.deferred + deferred[0, 0],
+        ceiling=state.ceiling + ceil[0, 0],
     )
 
 

@@ -140,8 +140,8 @@ def _sim2d_kernel(
     gy_i = idx1 % res1
     lo_b, hi_b = config.bc_band_lo, config.bc_band_hi
     bands = [
-        (gx_i < lo_b) | (gx_i > res0 - 1 - hi_b),
-        (gy_i < lo_b) | (gy_i > res1 - 1 - hi_b),
+        (gx_i < lo_b) | (gx_i > config.dres[0] - 1 - hi_b),
+        (gy_i < lo_b) | (gy_i > config.dres[1] - 1 - hi_b),
     ]
     gvel_rows = []
     for i in range(2):
@@ -178,7 +178,7 @@ def _sim2d_kernel(
     vel = [jnp.where(occ, v, 0.0) for v in vel]
     C4n = [jnp.where(occ, 4.0 * b, 0.0) for b in B]
 
-    resf = [float(r) for r in config.grid_res]
+    resf = [float(r) for r in config.dres]
     p_new = [
         jnp.clip(pos[a] + vel[a] * dt, config.clamp_lo,
                  resf[a] - config.clamp_hi_offset)
@@ -507,6 +507,7 @@ def _substep2d(state: BucketState, scals, config: SimConfig, n_inter: int,
         lost=state.lost + lost[0, 0],
         cfl_clamped=state.cfl_clamped + clamped[0, 0],
         deferred=state.deferred + deferred[0, 0],
+        ceiling=state.ceiling,
     )
 
 

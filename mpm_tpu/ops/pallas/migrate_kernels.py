@@ -394,6 +394,7 @@ def migrate_intra_pallas(
         lost=state.lost + lost[0, 0],
         cfl_clamped=state.cfl_clamped,
         deferred=state.deferred,
+        ceiling=state.ceiling,
     )
 
 
@@ -504,6 +505,7 @@ def migrate_x_pallas(
         lost=state.lost + lost[0, 0],
         cfl_clamped=state.cfl_clamped,
         deferred=state.deferred,
+        ceiling=state.ceiling,
     )
 
 

@@ -375,11 +375,11 @@ def _p2g_update_kernel(
         cy = idx // z
         cz = idx % z
         lo_b, hi_b = config.bc_band_lo, config.bc_band_hi
-        band_x = (gq < float(lo_b)) | (gq > float(nx - 1 - hi_b))
+        band_x = (gq < float(lo_b)) | (gq > float(config.dres[0] - 1 - hi_b))
         bands = [
             jnp.zeros_like(has) | band_x,  # scalar x-band broadcast
-            (cy < lo_b) | (cy > config.grid_res[1] - 1 - hi_b),
-            (cz < lo_b) | (cz > config.grid_res[2] - 1 - hi_b),
+            (cy < lo_b) | (cy > config.dres[1] - 1 - hi_b),
+            (cz < lo_b) | (cz > config.dres[2] - 1 - hi_b),
         ]
         for i in range(3):
             mom = gvel_o[pl.ds(q, 1), i, h : h + pc]
@@ -687,11 +687,11 @@ def _p2g2u_shard_kernel(
         cy = idx // z
         cz = idx % z
         lo_b, hi_b = config.bc_band_lo, config.bc_band_hi
-        band_x = (gq < float(lo_b)) | (gq > float(nx - 1 - hi_b))
+        band_x = (gq < float(lo_b)) | (gq > float(config.dres[0] - 1 - hi_b))
         bands = [
             jnp.zeros_like(has) | band_x,
-            (cy < lo_b) | (cy > config.grid_res[1] - 1 - hi_b),
-            (cz < lo_b) | (cz > config.grid_res[2] - 1 - hi_b),
+            (cy < lo_b) | (cy > config.dres[1] - 1 - hi_b),
+            (cz < lo_b) | (cz > config.dres[2] - 1 - hi_b),
         ]
         for i in range(3):
             mom = gvel_o[pl.ds(q, 1), i, h : h + pc]

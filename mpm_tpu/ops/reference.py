@@ -124,12 +124,12 @@ def g2p_tail(
             jnp.clip(
                 pos[a],
                 config.clamp_lo,
-                config.grid_res[a] - config.clamp_hi_offset,
+                config.dres[a] - config.clamp_hi_offset,
             )
             for a in range(config.dim)
         ]
     )
-    res = np.asarray(config.grid_res, np.float32).reshape(-1, 1)
+    res = np.asarray(config.dres, np.float32).reshape(-1, 1)
 
     vel = apply_interactions(pos, vel, interactions)
 

@@ -42,6 +42,43 @@ def _frame(
     return state
 
 
+def resolve_substep(mode: str) -> SubstepFn:
+    """The substep function for a mode name (shared by make_step and the
+    air-window engine, which fuses extra outputs into the same jit)."""
+    if mode == "auto":
+        mode = "bucketed"
+    if mode == "reference":
+        return reference.substep
+    if mode == "binned":
+        from . import binned
+
+        return binned.substep
+    if mode == "bucketed":
+        # state must be a BucketState (ops/bucketed.from_simstate)
+        from . import bucketed
+
+        return bucketed.substep
+    if mode == "pallas":
+        from .pallas import step as pallas_step
+
+        return pallas_step.substep
+    raise ValueError(f"unknown step mode: {mode}")
+
+
+def make_frame_fn(
+    config: SimConfig,
+    mode: str = "auto",
+    substeps: int | None = None,
+) -> Callable[[SimState, FluidParams, tuple[Interaction, ...]], SimState]:
+    """The UNjitted per-frame function (scan over substeps)."""
+    return partial(
+        _frame,
+        config=config,
+        substep_fn=resolve_substep(mode),
+        substeps=substeps if substeps is not None else config.substeps,
+    )
+
+
 def make_step(
     config: SimConfig,
     mode: str = "auto",
@@ -53,30 +90,5 @@ def make_step(
     mode: "reference" (dense scatter oracle), "binned" (sort-based fast path),
     "pallas" (fused TPU kernels), or "auto" (best available for the backend).
     """
-    if mode == "auto":
-        mode = "bucketed"
-    if mode == "reference":
-        substep_fn: SubstepFn = reference.substep
-    elif mode == "binned":
-        from . import binned
-
-        substep_fn = binned.substep
-    elif mode == "bucketed":
-        # state must be a BucketState (ops/bucketed.from_simstate)
-        from . import bucketed
-
-        substep_fn = bucketed.substep
-    elif mode == "pallas":
-        from .pallas import step as pallas_step
-
-        substep_fn = pallas_step.substep
-    else:
-        raise ValueError(f"unknown step mode: {mode}")
-
-    fn = partial(
-        _frame,
-        config=config,
-        substep_fn=substep_fn,
-        substeps=substeps if substeps is not None else config.substeps,
-    )
+    fn = make_frame_fn(config, mode, substeps)
     return jax.jit(fn, donate_argnums=(0,) if donate else ())

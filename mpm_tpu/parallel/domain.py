@@ -550,6 +550,7 @@ def _bucket_pspecs(axis: str):
         lost=P(),
         cfl_clamped=P(),
         deferred=P(),
+        ceiling=P(),
     )
 
 
@@ -670,6 +671,7 @@ def make_sharded_bucket_step(
                 lost=c0[0] + jax.lax.psum(s.lost - c0[0], axis),
                 cfl_clamped=c0[1] + jax.lax.psum(s.cfl_clamped - c0[1], axis),
                 deferred=c0[2] + jax.lax.psum(s.deferred - c0[2], axis),
+                ceiling=jax.lax.psum(s.ceiling, axis) // n,
             )
             return s
 

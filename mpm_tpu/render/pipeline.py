@@ -51,6 +51,13 @@ class RenderConfig:
     max_radius_px: int = 6
     sphere_render_ratio: float = 1.0
     background: BackgroundScene = BackgroundScene()
+    # Bucket-path splat granularity: "cell" reduces each grid cell to its
+    # nearest live particle before the z-buffer (the fast path; within-cell
+    # occlusion approximated), "particle" z-buffers EVERY live slot — the
+    # full-fidelity analogue of the reference's per-instance billboard
+    # raster (multi_mesh/billboard_sphere.gdshader:13-88 resolves occlusion
+    # per pixel across all instances). ~K x more scatter work.
+    quality: str = "cell"
 
 
 def render_frame(
@@ -127,7 +134,7 @@ def render_frame_buckets(
     camera compute it ONCE (scripts/render_profile.py measured the per-frame
     background at ~20% of the frame) via `background_for_view`."""
     from .extract_kernel import extract_cell_splats
-    from .splat import splat_cells
+    from .splat import extract_slot_splats, splat_cells
 
     cam = rc.camera
     bg_color, bg_depth = (
@@ -136,7 +143,10 @@ def render_frame_buckets(
     if rc.mode == RENDER_NONE:
         return bg_color
 
-    cells = extract_cell_splats(state, view, cam, interpret=interpret)
+    if rc.quality == "particle":
+        cells = extract_slot_splats(state, view, cam)
+    else:
+        cells = extract_cell_splats(state, view, cam, interpret=interpret)
     bufs = splat_cells(
         cells,
         cam,

@@ -41,6 +41,26 @@ class SplatBuffers(NamedTuple):
     sy: jax.Array | None = None
 
 
+def extract_slot_splats(state, view: jax.Array, cam: Camera) -> jax.Array:
+    """[4, K*C]: (pixel x, pixel y, linear depth, |vel|) of EVERY live slot
+    of a BucketState — the full-fidelity input to splat_cells (per-particle
+    z-buffering, RenderConfig.quality="particle"). Pure elementwise XLA:
+    unlike extract_kernel.extract_cell_splats there is no per-cell reduce,
+    so no Pallas kernel is needed. Empty/behind-camera slots get depth
+    CELL_BG (the splat_cells mask sentinel)."""
+    from .extract_kernel import CELL_BG
+
+    pos = state.pos.reshape(3, -1)
+    vel = state.vel.reshape(3, -1).astype(jnp.float32)
+    occ = state.mass.reshape(-1) > 0
+    px, py, depth = view_to_screen(
+        world_to_view(pos, view.astype(jnp.float32)), cam)
+    vmag = jnp.sqrt(vel[0] ** 2 + vel[1] ** 2 + vel[2] ** 2)
+    valid = occ & (depth > cam.near)
+    return jnp.stack(
+        [px, py, jnp.where(valid, depth, CELL_BG), vmag])
+
+
 def _point_deposit(
     px: jax.Array,
     py: jax.Array,
