@@ -395,13 +395,12 @@ def cmd_render(args):
 
         from .render.pipeline import frame_to_u8
 
-        _bg = None
-        if cam.width * cam.height >= 1280 * 720:
-            # at high resolutions the per-frame ray-traced background
-            # dominates; cache it for the static camera (measured 223 ->
-            # 149 ms/frame at 1080p). At small frames XLA fuses the
-            # recomputation into its consumers and caching is a wash.
-            _bg = background_for_view(rc, view)
+        # the ray-traced background depends only on (camera, view): cache it
+        # for the static camera at every size (measured 223 -> 149 ms/frame
+        # at 1080p; ~1.7 of 7.2 ms at 640x360, scripts/render_attrib.py —
+        # the earlier "wash at small frames" result was an isolated-jit
+        # measurement artifact)
+        _bg = background_for_view(rc, view)
         # frames leave the device as uint8 — the gamma-2.2 tonemap runs on
         # device and the host link moves 1/4 the bytes (render/pipeline.py
         # frame_to_u8: the f32 transfer was ~180 ms/frame of the loop)
@@ -409,12 +408,30 @@ def cmd_render(args):
             s, v, rc=rc, cubemap_faces=cubemap, bg=_bg,
             interpret=jax.default_backend() == "cpu",
         )))
+        # single-jit frame: substeps + in-kernel splat emission (the
+        # reference's g2p render-texture write, g2p.glsl:149-150) + SSFR +
+        # u8 tonemap in one dispatch — used whenever the production fused
+        # path applies (not windowed: resizes would recompile per height)
+        from .ops.pallas.fused import fused_supported
+        from .render.pipeline import make_full_frame_step
+
+        full_frame = None
+        if (mode == "pallas"
+                and getattr(args, "window", "off") != "auto"
+                and args.render_quality == "cell"
+                and rc.mode != "none"
+                and fused_supported(scene.config)):
+            full_frame = make_full_frame_step(
+                scene.config, rc, args.substeps or scene.config.substeps,
+                cubemap_faces=cubemap,
+                interpret=jax.default_backend() == "cpu")
     else:
         import functools as _ft
 
         from .render import render_frame
         from .render.pipeline import frame_to_u8
 
+        full_frame = None
         renderer = jax.jit(lambda p, vm, v: frame_to_u8(
             render_frame(p, vm, v, rc=rc, cubemap_faces=cubemap)))
 
@@ -467,10 +484,14 @@ def cmd_render(args):
     prev = None
     for i in range(args.frames):
         td0 = time.perf_counter()
-        state = step(state, fluid_fn(i), inter_fn(i))
-        if bucket_path:
+        if full_frame is not None:
+            state, img = full_frame(state, fluid_fn(i), inter_fn(i), view,
+                                    _bg)
+        elif bucket_path:
+            state = step(state, fluid_fn(i), inter_fn(i))
             img = renderer_b(state, view)
         else:
+            state = step(state, fluid_fn(i), inter_fn(i))
             pos, vmag = extract(state)
             img = renderer(pos, vmag, view)
         # start the device->host DMA for this frame NOW: the tunnel transfer

@@ -71,6 +71,9 @@ _NO_KP = os.environ.get("MPM_NO_KP", "0") == "1"  # use split A/B + XLA glue
 # per CHUNK-column span, skipping mover-free spans (0 disables). Must divide
 # every plane's cell count; spans that don't divide fall back to full-plane.
 _CHUNK = int(os.environ.get("MPM_SELECT_CHUNK", "512"))
+# "no splat from this cell" depth sentinel — MUST equal
+# render/extract_kernel.CELL_BG (asserted by tests/test_render.py)
+_CELL_BG = 1.0e9
 # Attribution: force the live (staging + select) paths even with no movers —
 # isolates the migration machinery's cost from the physics churn
 _FORCE_LIVE = os.environ.get("MPM_FORCE_LIVE", "0") == "1"
@@ -333,13 +336,19 @@ def _fused_kernel(
     # outputs
     pos_o, vel_o, C_o, mass_o, ids_o, lost_ref, clamp_ref, defer_ref,
     ceil_ref,
-    # scratch
-    tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
-    tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
-    r_pos, r_vel, r_C, r_mass, r_ids, scr_nmovr,
-    *, config: SimConfig, n_inter: int, shard: bool,
+    # optional splat output (emit_splats), then scratch
+    *refs,
+    config: SimConfig, n_inter: int, shard: bool,
     fixed_mult: float | None = None,
+    emit_splats: bool = False,
 ):
+    if emit_splats:
+        splat_o, *refs = refs
+    else:
+        splat_o = None
+    (tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
+     tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
+     r_pos, r_vel, r_C, r_mass, r_ids, scr_nmovr) = refs
     t = pl.program_id(0)
     L = pl.num_programs(0) - 1  # local planes swept (== nx when unsharded)
     nx = config.grid_res[0]     # GLOBAL plane count (bounds checks)
@@ -804,6 +813,49 @@ def _fused_kernel(
                         sl(occ_c), sl(r_ids[rc]), _INT_SENTINEL
                     )
 
+    if emit_splats:
+        # ---- 5. per-cell splat extraction for plane j, IN-KERNEL ----
+        # The reference's g2p writes its render texture inside the same
+        # compute pass (g2p.glsl:149-150); emitting here saves the
+        # render-time re-read of the whole state (~1.9 ms/frame at 1M,
+        # scripts/render_attrib.py). Identical math and slot order to
+        # render/extract_kernel._extract_kernel: (pixel x, pixel y, linear
+        # depth, |vel|) of the plane's nearest live particle per cell,
+        # depth == _CELL_BG marks empty cells.
+        @pl.when(t >= 1)
+        def _emit_splats():
+            rb = 2 + 7 * max(n_inter, 1)  # render scals base (after x0)
+            p = pos_o[:].astype(jnp.float32)
+            v = vel_o[:].astype(jnp.float32)
+            occ = mass_o[:] > 0
+            vp = [
+                scal_ref[rb + 4 * i] * p[0]
+                + scal_ref[rb + 4 * i + 1] * p[1]
+                + scal_ref[rb + 4 * i + 2] * p[2]
+                + scal_ref[rb + 4 * i + 3]
+                for i in range(3)
+            ]
+            depth = -vp[2]
+            safe = jnp.where(depth > 1e-6, depth, 1e-6)
+            px = scal_ref[rb + 13] + scal_ref[rb + 12] * vp[0] / safe
+            py = scal_ref[rb + 14] - scal_ref[rb + 12] * vp[1] / safe
+            vmag = jnp.sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+            valid = occ & (depth > scal_ref[rb + 15])
+            dmask = jnp.where(valid, depth, _CELL_BG)
+            dmin = jnp.min(dmask, axis=0)
+            sel = [jnp.zeros((pc,), jnp.float32) for _ in range(3)]
+            found = jnp.zeros((pc,), jnp.bool_)
+            for kk in range(k):
+                m = valid[kk] & (dmask[kk] == dmin) & jnp.logical_not(found)
+                sel[0] = jnp.where(m, px[kk], sel[0])
+                sel[1] = jnp.where(m, py[kk], sel[1])
+                sel[2] = jnp.where(m, vmag[kk], sel[2])
+                found = found | m
+            splat_o[0, :] = sel[0]
+            splat_o[1, :] = sel[1]
+            splat_o[2, :] = jnp.where(found, dmin, _CELL_BG)
+            splat_o[3, :] = sel[2]
+
 
 # ----------------------------------------------------------------- dispatch
 
@@ -833,7 +885,8 @@ def fused_supported(config: SimConfig, k: int | None = None) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "n_inter", "shard", "interpret")
+    jax.jit,
+    static_argnames=("config", "n_inter", "shard", "interpret", "emit_splats"),
 )
 def _g2p_migrate_fused(
     state: BucketState,
@@ -843,6 +896,7 @@ def _g2p_migrate_fused(
     n_inter: int,
     shard: bool = False,
     interpret: bool = False,
+    emit_splats: bool = False,
 ):
     """Sharded mode: `state` is a shard's padded slab (L = loc_x + 4 planes),
     `gvel_pad` carries one extra plane per side ([L+2, 3, pcp]), and `scals`
@@ -886,10 +940,39 @@ def _g2p_migrate_fused(
 
     smem_counter = pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
 
-    pos, vel, C9, mass, ids, lost, clamped, deferred, ceil = pl.pallas_call(
+    n_scal = scals.shape[0]
+    out_specs = [
+        out_plane((3,)),
+        out_plane((3,)),
+        out_plane((9,)),
+        out_plane(()),
+        out_plane(()),
+        smem_counter,
+        smem_counter,
+        smem_counter,
+        smem_counter,
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3, k, c), dtype),
+        jax.ShapeDtypeStruct((3, k, c), state.vel.dtype),
+        jax.ShapeDtypeStruct((9, k, c), state.C.dtype),
+        jax.ShapeDtypeStruct((k, c), dtype),
+        jax.ShapeDtypeStruct((k, c), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+    ]
+    if emit_splats:
+        out_specs.append(pl.BlockSpec(
+            (4, pc), lambda t: (0, jnp.maximum(t - 1, 0)),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((4, c), jnp.float32))
+    outs = pl.pallas_call(
         functools.partial(
             _fused_kernel, config=config, n_inter=n_inter, shard=shard,
             fixed_mult=config.fixed_point_mult if config.fixed_point else None,
+            emit_splats=emit_splats,
         ),
         grid=(L + 1,),
         in_specs=[
@@ -899,31 +982,11 @@ def _g2p_migrate_fused(
             gv_view(-1),
             gv_view(0),
             gv_view(1),
-            pl.BlockSpec((2 + 7 * max(n_inter, 1),), lambda t: (0,),
+            pl.BlockSpec((n_scal,), lambda t: (0,),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            out_plane((3,)),
-            out_plane((3,)),
-            out_plane((9,)),
-            out_plane(()),
-            out_plane(()),
-            smem_counter,
-            smem_counter,
-            smem_counter,
-            smem_counter,
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3, k, c), dtype),
-            jax.ShapeDtypeStruct((3, k, c), state.vel.dtype),
-            jax.ShapeDtypeStruct((9, k, c), state.C.dtype),
-            jax.ShapeDtypeStruct((k, c), dtype),
-            jax.ShapeDtypeStruct((k, c), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((3, k, pc + 2 * hm), dtype),
             pltpu.VMEM((3, k, pc + 2 * hm), dtype),
@@ -947,8 +1010,10 @@ def _g2p_migrate_fused(
             vmem_limit_bytes=128 * 1024 * 1024
         ),
     )(state.pos, state.mass, state.ids, gvel_pad, gvel_pad, gvel_pad, scals)
+    pos, vel, C9, mass, ids, lost, clamped, deferred, ceil = outs[:9]
+    splats = outs[9] if emit_splats else None
 
-    return BucketState(
+    out_state = BucketState(
         pos=pos,
         vel=vel,
         C=C9.reshape(3, 3, k, c),
@@ -959,6 +1024,7 @@ def _g2p_migrate_fused(
         deferred=state.deferred + deferred[0, 0],
         ceiling=state.ceiling + ceil[0, 0],
     )
+    return (out_state, splats) if emit_splats else out_state
 
 
 def _pack_scals(fp: FluidParams, interactions: Sequence, dtype, x0=None) -> jax.Array:
@@ -1006,31 +1072,76 @@ def substep_fused(
 
         return substep_planes(state, config, fp, interactions, interpret=interpret)
 
+    gvel = _gvel_for(state, config, fp, interpret)
+    scals = _pack_scals(fp, interactions, state.pos.dtype)
+    return _g2p_migrate_fused(
+        state, gvel, scals, config, len(interactions), interpret=interpret
+    )
+
+
+def _gvel_for(state, config, fp, interpret):
+    """P2G + grid update -> halo-padded grid velocity (kernel P, or the
+    split A/B kernels + XLA glue under the attribution knobs)."""
+    from .p2g_fused import p2g_update_pallas, p2g_update_supported
+
     nx = config.grid_res[0]
     pc = config.num_cells // nx
     h = _halo(config)
 
     if _NOP2G1:  # perf attribution: zero grid, skip P2G entirely
-        gvel = jnp.zeros(
+        return jnp.zeros(
             (nx, 3, pc + 2 * h),
             jnp.int32 if config.fixed_point else state.pos.dtype,
         )
-    elif p2g_update_supported(config) and (
+    if p2g_update_supported(config) and (
         config.fixed_point or not (_NO_KP or _NOP2G2)
     ):  # fixed-point always takes kernel P: the split path is float-only
         # kernel P: P2G pass 1 + pass 2 + grid update in one sweep; emits
         # the halo-padded grid-velocity array directly (no XLA glue)
-        gvel = p2g_update_pallas(state, fp, config, interpret=interpret)
-    else:
-        from .bucket_kernels import p2g_pallas
-        from ..grid import update_grid
+        return p2g_update_pallas(state, fp, config, interpret=interpret)
+    from .bucket_kernels import p2g_pallas
+    from ..grid import update_grid
 
-        grid = p2g_pallas(state, config, fp, skip_p2g2=_NOP2G2,
-                          interpret=interpret)
-        grid = update_grid(grid, config, fp)
-        gvel = jnp.swapaxes(grid.mom.reshape(3, nx, pc), 0, 1)  # [nx, 3, pc]
-        gvel = jnp.pad(gvel, ((0, 0), (0, 0), (h, h)))
-    scals = _pack_scals(fp, interactions, state.pos.dtype)
+    grid = p2g_pallas(state, config, fp, skip_p2g2=_NOP2G2,
+                      interpret=interpret)
+    grid = update_grid(grid, config, fp)
+    gvel = jnp.swapaxes(grid.mom.reshape(3, nx, pc), 0, 1)  # [nx, 3, pc]
+    return jnp.pad(gvel, ((0, 0), (0, 0), (h, h)))
+
+
+def render_scals_for(view, cam) -> jax.Array:
+    """[16] f32 render scalars for the in-kernel splat emission: world->view
+    rows (3x4) + (focal_px, w/2, h/2, near) — the same layout
+    render/extract_kernel.extract_cell_splats packs."""
+    view = jnp.asarray(view).astype(jnp.float32)
+    return jnp.concatenate([
+        view[:3, :4].reshape(-1),
+        jnp.asarray([cam.focal_px, cam.width / 2.0, cam.height / 2.0,
+                     cam.near], jnp.float32),
+    ])
+
+
+def substep_fused_emit(
+    state: BucketState,
+    config: SimConfig,
+    fp: FluidParams,
+    interactions: Sequence,
+    render_scals: jax.Array,
+    interpret: bool = False,
+):
+    """substep_fused + in-kernel per-cell splat emission (the reference's
+    g2p render-texture write, g2p.glsl:149-150): returns (state, splats
+    [4, C]) with splats identical to
+    render/extract_kernel.extract_cell_splats(state_after). Only valid for
+    configs on the fused path (fused_supported and not 2D); frame loops
+    fall back to the post-hoc extract kernel otherwise."""
+    assert config.dim == 3 and fused_supported(config, state.pos.shape[1])
+    gvel = _gvel_for(state, config, fp, interpret)
+    scals = jnp.concatenate([
+        _pack_scals(fp, interactions, state.pos.dtype),
+        render_scals.astype(state.pos.dtype),
+    ])
     return _g2p_migrate_fused(
-        state, gvel, scals, config, len(interactions), interpret=interpret
+        state, gvel, scals, config, len(interactions), interpret=interpret,
+        emit_splats=True,
     )

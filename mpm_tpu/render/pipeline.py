@@ -147,12 +147,36 @@ def render_frame_buckets(
         cells = extract_slot_splats(state, view, cam)
     else:
         cells = extract_cell_splats(state, view, cam, interpret=interpret)
+    return render_frame_cells(cells, view, rc, cubemap_faces=cubemap_faces,
+                              bg=(bg_color, bg_depth))
+
+
+def render_frame_cells(
+    cells: jax.Array,  # [4, M] (px, py, depth, |vel|) splat points
+    view: jax.Array,
+    rc: RenderConfig,
+    cubemap_faces: jax.Array | None = None,
+    bg: tuple[jax.Array, jax.Array] | None = None,
+) -> jax.Array:
+    """The SSFR chain from extracted splat points on: used by
+    render_frame_buckets and by frame loops that receive the splats straight
+    from the simulation step (ops/pallas/fused.substep_fused_emit — the
+    reference's in-g2p render-texture write, g2p.glsl:149-150)."""
+    from .splat import splat_cells
+
+    cam = rc.camera
+    bg_color, bg_depth = (
+        bg if bg is not None else render_background(cam, view, rc.background)
+    )
     bufs = splat_cells(
         cells,
         cam,
         sphere_radius=rc.ssfr.particle_sphere_radius,
         max_radius_px=rc.max_radius_px,
         with_normals=rc.mode == RENDER_LIT_SPHERES,
+        # the DEFAULT/depth chains are depth-only: skip the velocity-key
+        # scatter-min and the velocity dilation tracking (~1 ms at 640x360)
+        with_velocity=rc.mode in (RENDER_VELOCITY_SPHERES, RENDER_LIT_SPHERES),
     )
 
     if rc.mode == RENDER_LIT_SPHERES:
@@ -178,6 +202,53 @@ def render_frame_buckets(
         depth, bg_color, bg_depth, sampler, view[:3, :3], rc.ssfr, cam
     )
     return color
+
+
+def emitting_frame_fn(config, cam: Camera, substeps: int,
+                      interpret: bool = False):
+    """UNjitted (state, fluid, interactions, view) -> (state, cells): runs
+    substeps-1 plain substeps then a final substep whose kernel F emits the
+    per-cell splats in place (ops/pallas/fused.substep_fused_emit), saving
+    the render-time re-read of the whole particle state (~1.9 ms/frame at
+    1M, scripts/render_attrib.py). Requires the fused 3D path."""
+    from ..ops.pallas import fused as _fused
+
+    def fn(state, fp, inter, view):
+        for _ in range(substeps - 1):  # unrolled: substeps/frame is 2-5
+            state = _fused.substep_fused(state, config, fp, inter,
+                                         interpret=interpret)
+        rs = _fused.render_scals_for(view, cam)
+        return _fused.substep_fused_emit(state, config, fp, inter, rs,
+                                         interpret=interpret)
+
+    return fn
+
+
+def make_emitting_frame_step(config, cam: Camera, substeps: int,
+                             donate: bool = True, interpret: bool = False):
+    """Jitted emitting_frame_fn."""
+    return jax.jit(emitting_frame_fn(config, cam, substeps, interpret),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_full_frame_step(config, rc: RenderConfig, substeps: int,
+                         donate: bool = True, interpret: bool = False,
+                         cubemap_faces=None):
+    """ONE jit per rendered frame: the substeps (kernel-F splat emission on
+    the last, g2p.glsl:149-150 parity) + the SSFR chain + the u8 tonemap in
+    a single computation — (state, fluid, interactions, view, bg) ->
+    (state, u8 frame). One host dispatch per frame: a separate renderer jit
+    call costs ~7 ms through the tunnel (ARCHITECTURE.md
+    "Platform gotchas")."""
+    step = emitting_frame_fn(config, rc.camera, substeps, interpret)
+
+    def fn(state, fp, inter, view, bg):
+        state, cells = step(state, fp, inter, view)
+        img = render_frame_cells(cells, view, rc,
+                                 cubemap_faces=cubemap_faces, bg=bg)
+        return state, frame_to_u8(img)
+
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
 def make_bucket_renderer(rc: RenderConfig, interpret: bool = False) -> Callable:

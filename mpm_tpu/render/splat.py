@@ -102,6 +102,7 @@ def _dilate_spheres(
     sphere_radius: float,
     max_radius_px: int,
     with_normals: bool = False,
+    with_velocity: bool = True,
 ) -> SplatBuffers:
     """Expand point deposits into sphere impostor discs with analytic depth
     (depth_map.gdshader:63-84), via bounded shifted-window mins. With
@@ -129,7 +130,6 @@ def _dilate_spheres(
             if dx == 0 and dy == 0:
                 continue
             src_d = jax.lax.dynamic_slice(d0, (pad - dy, pad - dx), (h, w))
-            src_v = jax.lax.dynamic_slice(v0, (pad - dy, pad - dx), (h, w))
             src_r = jax.lax.dynamic_slice(r0, (pad - dy, pad - dx), (h, w))
             inv_r = 1.0 / jnp.maximum(src_r, 1e-3)
             s2 = (dx * dx + dy * dy) * inv_r * inv_r
@@ -139,7 +139,10 @@ def _dilate_spheres(
             cand = jnp.where(inside & (src_d < BG_DEPTH), cand, BG_DEPTH)
             take = cand < best_d
             best_d = jnp.where(take, cand, best_d)
-            best_v = jnp.where(take, src_v, best_v)
+            if with_velocity:
+                src_v = jax.lax.dynamic_slice(
+                    v0, (pad - dy, pad - dx), (h, w))
+                best_v = jnp.where(take, src_v, best_v)
             if with_normals:
                 best_sx = jnp.where(take, dx * inv_r, best_sx)
                 best_sy = jnp.where(take, dy * inv_r, best_sy)
@@ -154,6 +157,7 @@ def splat_cells(
     sphere_radius: float = 1.0,
     max_radius_px: int = 6,
     with_normals: bool = False,
+    with_velocity: bool = True,
 ) -> SplatBuffers:
     """z-buffer + sphere dilation over per-CELL splat points (the fast path
     for bucket-state renders; see extract_kernel.py).
@@ -179,25 +183,34 @@ def splat_cells(
         .at[pix]
         .min(jnp.where(on, depth, BG_DEPTH))
     )
-    # positive-float bit patterns sort like their values: the top 20 bits of
-    # the depth dominate the key, the low 12 carry quantized velocity
-    dbits = jax.lax.bitcast_convert_type(
-        jnp.maximum(depth, 1e-6), jnp.int32
-    ) & ~jnp.int32(0xFFF)
-    qvel = jnp.clip(vel * 64.0, 0.0, 4095.0).astype(jnp.int32)
-    key = jnp.where(on, dbits | qvel, jnp.int32(0x7F7FFFFF))
-    k_img = (
-        jnp.full((h * w + 1,), jnp.int32(0x7F7FFFFF)).at[pix].min(key)
-    )
     d = d_img[: h * w].reshape(h, w)
     occ = d < BG_DEPTH
-    v = jnp.where(
-        occ, (k_img[: h * w].reshape(h, w) & 0xFFF).astype(depth.dtype) / 64.0,
-        0.0,
-    )
+    if with_velocity:
+        # positive-float bit patterns sort like their values: the top 20
+        # bits of the depth dominate the key, the low 12 carry quantized
+        # velocity. The DEFAULT SSFR chain never reads the velocity buffer
+        # (blur/shade are depth-only), so this second scatter-min only runs
+        # for the velocity_spheres / lit_spheres modes (~1 ms at 640x360,
+        # scripts/render_attrib.py).
+        dbits = jax.lax.bitcast_convert_type(
+            jnp.maximum(depth, 1e-6), jnp.int32
+        ) & ~jnp.int32(0xFFF)
+        qvel = jnp.clip(vel * 64.0, 0.0, 4095.0).astype(jnp.int32)
+        key = jnp.where(on, dbits | qvel, jnp.int32(0x7F7FFFFF))
+        k_img = (
+            jnp.full((h * w + 1,), jnp.int32(0x7F7FFFFF)).at[pix].min(key)
+        )
+        v = jnp.where(
+            occ,
+            (k_img[: h * w].reshape(h, w) & 0xFFF).astype(depth.dtype) / 64.0,
+            0.0,
+        )
+    else:
+        v = jnp.zeros((h, w), depth.dtype)
     bufs = SplatBuffers(depth=jnp.where(occ, d, BG_DEPTH), velocity=v)
     return _dilate_spheres(bufs, cam, sphere_radius, max_radius_px,
-                           with_normals=with_normals)
+                           with_normals=with_normals,
+                           with_velocity=with_velocity)
 
 
 def splat_particles(
