@@ -659,7 +659,8 @@ def make_sharded_bucket_step(
 
     def frame(state, fp, interactions):
         def local(state, fp, interactions):
-            c0 = (state.lost, state.cfl_clamped, state.deferred)
+            c0 = (state.lost, state.cfl_clamped, state.deferred,
+                  state.ceiling)
 
             def body(s, _):
                 return substep_local(s, fp, interactions), None
@@ -671,7 +672,7 @@ def make_sharded_bucket_step(
                 lost=c0[0] + jax.lax.psum(s.lost - c0[0], axis),
                 cfl_clamped=c0[1] + jax.lax.psum(s.cfl_clamped - c0[1], axis),
                 deferred=c0[2] + jax.lax.psum(s.deferred - c0[2], axis),
-                ceiling=jax.lax.psum(s.ceiling, axis) // n,
+                ceiling=c0[3] + jax.lax.psum(s.ceiling - c0[3], axis),
             )
             return s
 

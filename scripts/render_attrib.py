@@ -34,15 +34,24 @@ from mpm_tpu.render.splat import splat_cells, extract_slot_splats
 from mpm_tpu.render import ssfr as _ssfr
 
 
+def _fence(out):
+    # tiny-slice fence: block_until_ready can return while compute still
+    # streams on the tunneled platform (utils/timing.py; observed returning
+    # 0.03 ms for a 1080p frame), and np.asarray of a full frame drags MBs
+    # through the ~35 MB/s tunnel — pull ONE element of one leaf instead
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(slice(0, 1),) * leaf.ndim])
+
+
 def timed(name, fn, *args, iters=20):
     out = fn(*args)  # compile
-    jax.block_until_ready(out)
+    _fence(out)
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+        _fence(out)
         dt = (time.perf_counter() - t0) / iters * 1e3
         best = dt if best is None else min(best, dt)
     print(f"  {name:34s} {best:8.2f} ms")
