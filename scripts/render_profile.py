@@ -3,6 +3,13 @@
 chip): splat deposit, sphere dilation, blur, shade, composite, host
 transfer, PNG encode.
 
+DEPRECATED for absolute numbers: each stage here is a separate jit call,
+which adds ~6.5 ms of tunnel dispatch per call and defeats cross-pass
+fusion — measured 3-4x higher than the real frame loop. Use
+scripts/render_attrib.py (variant renderers, single jit each, tiny-slice
+fences) for attribution; this script is kept for stage-relative shape
+checks only.
+
 Usage: python scripts/render_profile.py [n_particles] [W] [H]
 """
 

@@ -48,3 +48,21 @@ def test_cli_render_3d(tmp_path):
     ])
     pngs = sorted(glob.glob(os.path.join(str(out), "*.png")))
     assert len(pngs) == 2
+
+
+def test_cli_window_checkpoint_resume(tmp_path):
+    """--window auto: run with checkpoints, then resume — the checkpoint's
+    window-shaped bucket state must re-window cleanly (ops/window.py is
+    run-local; _build converts via to_simstate -> win.init)."""
+    ckdir = tmp_path / "ck"
+    main([
+        "run", "fluid_3d_cpu", "--frames", "2", "--mode", "bucketed",
+        "--substeps", "1", "--window", "auto",
+        "--checkpoint-every", "1", "--checkpoint-dir", str(ckdir),
+    ])
+    cks = sorted(glob.glob(str(ckdir / "*.npz")))
+    assert cks
+    main([
+        "run", "fluid_3d_cpu", "--frames", "1", "--mode", "bucketed",
+        "--substeps", "1", "--window", "auto", "--resume", cks[-1],
+    ])

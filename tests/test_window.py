@@ -179,3 +179,29 @@ def test_ceiling_band_rejects_and_counts():
     for a, b in zip(_linear(s_x, pos.shape[0]), _linear(s_f, pos.shape[0])):
         np.testing.assert_allclose(a, b, atol=1e-5)
     assert int(s_x.ceiling) == int(s_f.ceiling)
+
+
+def test_windowed_state_renders_identically():
+    """Rendering a windowed state must produce the same frame as the
+    full-grid state (positions are world-space; the renderer never sees the
+    window)."""
+    from mpm_tpu.render import Camera, RenderConfig
+    from mpm_tpu.render.camera import look_at
+    from mpm_tpu.render.pipeline import render_frame_buckets
+
+    config, fluid, state = _pool_scene()
+    full_step = make_step(config, mode="bucketed", substeps=4, donate=False)
+    s_full = jax.jit(lambda s: bucketed.from_simstate(s, config))(state)
+    win = YWindow(config, mode="bucketed", substeps=4, donate=False,
+                  sync_polls=True)
+    s_win = win.init(state)
+    for _ in range(2):
+        s_full = full_step(s_full, fluid, ())
+        s_win = win.step(s_win, fluid, ())
+
+    cam = Camera(width=120, height=80)
+    rc = RenderConfig(camera=cam)
+    view = jnp.asarray(look_at((40.0, 30.0, 40.0), (8.0, 6.0, 8.0)))
+    img_f = np.asarray(render_frame_buckets(s_full, view, rc, interpret=True))
+    img_w = np.asarray(render_frame_buckets(s_win, view, rc, interpret=True))
+    np.testing.assert_array_equal(img_f, img_w)
