@@ -59,6 +59,17 @@ class SSFRParams:
     # on TPU — reference parity for near-camera fluid
     blur_tap_radius: int = 12
     use_pallas_blur: bool = True
+    # Refraction-sample stride. The refracted-background fetch
+    # (fluid_render_fixed_depth.glsl:142-144) is a per-pixel dependent
+    # gather — the one texture-fetch-shaped op in the chain; TPUs have no
+    # texture units and the XLA gather costs 14.3 of the 19 ms shade pass
+    # at 1080p (scripts/render_attrib.py analysis). 1 = exact (reference
+    # semantics, the default everywhere); N > 1 gathers every Nth pixel and
+    # nearest-upsamples — visually minor through the blurred surface.
+    # Measured at 1080p/1M (cached bg): full render 26.3 ms at ds=1,
+    # 15.4 ms at ds=4; ds=2 anomalously lowers to a SLOWER gather (29.8 ms)
+    # — use 1 (exact) or 4.
+    refraction_downsample: int = 1
 
 
 def bilateral_blur_1d(
@@ -213,7 +224,21 @@ def shade(
     # uv in [0,1] with y flipped like screen storage
     sx = jnp.clip(xg + uv_off[..., 0] * w, 0, w - 1).astype(jnp.int32)
     sy = jnp.clip(yg - uv_off[..., 1] * h, 0, h - 1).astype(jnp.int32)
-    transmitted = bg_color[sy, sx]
+    ds = int(params.refraction_downsample)
+    if ds > 1:
+        # strided gather + nearest upsample (see SSFRParams doc); trailing
+        # partial blocks clamp to the last full sample row/column
+        tsm = bg_color[sy[::ds, ::ds], sx[::ds, ::ds]]
+        tsm = jnp.repeat(jnp.repeat(tsm, ds, axis=0), ds, axis=1)
+        transmitted = tsm[:h, :w]
+        if transmitted.shape[0] < h or transmitted.shape[1] < w:
+            transmitted = jnp.pad(
+                transmitted,
+                ((0, h - transmitted.shape[0]),
+                 (0, w - transmitted.shape[1]), (0, 0)),
+                mode="edge")
+    else:
+        transmitted = bg_color[sy, sx]
 
     diffuse = np.asarray(params.diffuse_color, np.float32)
     transmittance = jnp.exp(

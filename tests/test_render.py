@@ -377,3 +377,58 @@ def test_full_frame_step_matches_separate_path():
                                             bg=bg))
     np.testing.assert_array_equal(np.asarray(s1.pos), np.asarray(s2.pos))
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_inkernel_splat_emission_fixed_point():
+    """Splat emission composes with int32 fixed-point grid accumulation
+    (kernel P int32 -> kernel F emit): emitted splats still equal the
+    post-hoc extraction on the stepped state."""
+    import jax
+
+    from mpm_tpu.models.scenes import fluid_3d
+    from mpm_tpu.ops import bucketed
+    from mpm_tpu.ops.pallas import fused
+    from mpm_tpu.render import Camera, default_view
+    from mpm_tpu.render.extract_kernel import extract_cell_splats
+
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = sc.config.replace(bin_capacity=8, fixed_point=True)
+    if not fused.fused_supported(config):
+        import pytest
+
+        pytest.skip("fixed-point fused path unsupported at this config")
+    b = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+    cam = Camera(width=160, height=96)
+    view = jnp.asarray(default_view(config.grid_res))
+    rs = fused.render_scals_for(view, cam)
+    b2, splats = fused.substep_fused_emit(b, config, sc.fluid, (), rs,
+                                          interpret=True)
+    want = extract_cell_splats(b2, view, cam, interpret=True)
+    np.testing.assert_allclose(np.asarray(splats), np.asarray(want),
+                               rtol=1e-6, atol=1e-5)
+
+
+def test_refraction_downsample_close_to_exact():
+    """refraction_downsample=N strides the refracted-background gather and
+    nearest-upsamples; on a smooth background the result stays close to the
+    exact reference-semantics sample (ds=1, the default)."""
+    from mpm_tpu.render import Camera, SSFRParams
+    from mpm_tpu.render import ssfr as S
+    from mpm_tpu.render.background import make_cubemap_sampler
+
+    cam = Camera(width=160, height=96)
+    h, w = 96, 160
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    # smooth background gradient; flat fluid slab in front of it
+    bgc = jnp.asarray(np.stack([xs / w, ys / h, 0.5 * np.ones_like(xs)],
+                               -1).astype(np.float32))
+    bgd = jnp.full((h, w), 50.0, jnp.float32)
+    depth = jnp.full((h, w), 20.0, jnp.float32)
+    sampler = make_cubemap_sampler(None)
+    view3 = jnp.eye(3)
+    c1, _ = S.shade(depth, bgc, bgd, sampler, view3, SSFRParams(), cam)
+    c2, _ = S.shade(depth, bgc, bgd, sampler, view3,
+                    SSFRParams(refraction_downsample=2), cam)
+    diff = np.abs(np.asarray(c1) - np.asarray(c2)).mean()
+    assert np.isfinite(np.asarray(c2)).all()
+    assert diff < 0.01, diff
