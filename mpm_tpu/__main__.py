@@ -373,6 +373,22 @@ def cmd_render(args):
         quality=args.render_quality,
     )
     view = jnp.asarray(default_view(scene.config.grid_res))
+
+    if args.orbit_camera:
+        import numpy as _np
+
+        from .render.camera import look_at
+
+        c = [r / 2.0 for r in scene.config.grid_res]
+
+        def view_fn(frame):
+            ang = 2.0 * _np.pi * frame / max(args.frames, 1)
+            eye = (c[0] + 75.0 * _np.cos(ang), c[1] + 28.0,
+                   c[2] + 75.0 * _np.sin(ang))
+            return jnp.asarray(look_at(eye, (c[0], c[1] - 8.0, c[2])))
+    else:
+        def view_fn(frame):
+            return view
     os.makedirs(args.out, exist_ok=True)
 
     cubemap = None
@@ -396,11 +412,11 @@ def cmd_render(args):
         from .render.pipeline import frame_to_u8
 
         # the ray-traced background depends only on (camera, view): cache it
-        # for the static camera at every size (measured 223 -> 149 ms/frame
+        # for a static camera at every size (measured 223 -> 149 ms/frame
         # at 1080p; ~1.7 of 7.2 ms at 640x360, scripts/render_attrib.py —
         # the earlier "wash at small frames" result was an isolated-jit
-        # measurement artifact)
-        _bg = background_for_view(rc, view)
+        # measurement artifact). A moving camera recomputes it per frame.
+        _bg = None if args.orbit_camera else background_for_view(rc, view)
         # frames leave the device as uint8 — the gamma-2.2 tonemap runs on
         # device and the host link moves 1/4 the bytes (render/pipeline.py
         # frame_to_u8: the f32 transfer was ~180 ms/frame of the loop)
@@ -484,16 +500,17 @@ def cmd_render(args):
     prev = None
     for i in range(args.frames):
         td0 = time.perf_counter()
+        v = view_fn(i)
         if full_frame is not None:
-            state, img = full_frame(state, fluid_fn(i), inter_fn(i), view,
+            state, img = full_frame(state, fluid_fn(i), inter_fn(i), v,
                                     _bg)
         elif bucket_path:
             state = step(state, fluid_fn(i), inter_fn(i))
-            img = renderer_b(state, view)
+            img = renderer_b(state, v)
         else:
             state = step(state, fluid_fn(i), inter_fn(i))
             pos, vmag = extract(state)
-            img = renderer(pos, vmag, view)
+            img = renderer(pos, vmag, v)
         # start the device->host DMA for this frame NOW: the tunnel transfer
         # then overlaps the next frame's dispatch instead of serializing
         # behind it when the worker thread finally calls np.asarray
@@ -575,6 +592,13 @@ def main(argv=None):
         metavar="DIR",
         help="6-face PNG cubemap directory for SSFR reflections (the "
         "reference's assets/cubemap; *-1..6.png or px/nx/py/ny/pz/nz.png)",
+    )
+    p_r.add_argument(
+        "--orbit-camera",
+        action="store_true",
+        help="scripted camera orbit around the domain center (the headless "
+        "analogue of the reference's fly camera, main_camera.gd:92-132 — "
+        "camera poses are traced per-frame inputs, no recompiles)",
     )
     p_r.add_argument(
         "--hud",

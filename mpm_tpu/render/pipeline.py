@@ -244,11 +244,15 @@ def make_full_frame_step(config, rc: RenderConfig, substeps: int,
 
     def fn(state, fp, inter, view, bg):
         state, cells = step(state, fp, inter, view)
+        # bg=None -> the ray-traced background is recomputed per frame
+        # (moving-camera loops); static-camera loops pass the cached pair
         img = render_frame_cells(cells, view, rc,
                                  cubemap_faces=cubemap_faces, bg=bg)
         return state, frame_to_u8(img)
 
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    if donate:
+        return jax.jit(fn, donate_argnums=(0,), static_argnums=())
+    return jax.jit(fn)
 
 
 def make_bucket_renderer(rc: RenderConfig, interpret: bool = False) -> Callable:

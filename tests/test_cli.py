@@ -66,3 +66,21 @@ def test_cli_window_checkpoint_resume(tmp_path):
         "run", "fluid_3d_cpu", "--frames", "1", "--mode", "bucketed",
         "--substeps", "1", "--window", "auto", "--resume", cks[-1],
     ])
+
+
+def test_cli_render_orbit_camera(tmp_path):
+    """--orbit-camera: per-frame view matrices are traced inputs (no
+    recompiles); successive frames must differ as the camera moves."""
+    import numpy as np
+
+    out = tmp_path / "orb"
+    main([
+        "render", "fluid_3d_cpu", "--frames", "3", "--mode", "bucketed",
+        "--substeps", "1", "--orbit-camera", "--width", "120",
+        "--height", "80", "--out", str(out),
+    ])
+    from mpm_tpu.render.image import read_png_rgb
+
+    a = read_png_rgb(str(out / "frame_00000.png")).astype(float)
+    b = read_png_rgb(str(out / "frame_00002.png")).astype(float)
+    assert np.abs(a - b).mean() > 1.0  # the view moved
