@@ -717,3 +717,18 @@ def demo_sharded_bucket_step(n_devices: int) -> None:
     out = step(shard_bucket_state(b0, mesh), scene.fluid, ())
     assert int(out.lost) == 0
     np.asarray(out.pos)
+
+    # the air-window engine composes with the slab decomposition: a
+    # y-windowed config through the same sharded step (true-domain walls,
+    # in-kernel ceiling band; tests/test_window.py asserts slot-exactness)
+    from ..ops.window import window_config
+
+    tall = scene.config.replace(grid_res=(16, 32, 16), substeps=1,
+                                bin_capacity=8)
+    wcfg = window_config(tall, 16)
+    bw = jax.jit(lambda s: bucketed.from_simstate(s, wcfg))(scene.state)
+    wstep = make_sharded_bucket_step(wcfg, mesh, substeps=1,
+                                     interpret=interpret)
+    wout = wstep(shard_bucket_state(bw, mesh), scene.fluid, ())
+    assert int(wout.lost) == 0
+    np.asarray(wout.pos)

@@ -205,3 +205,36 @@ def test_windowed_state_renders_identically():
     img_f = np.asarray(render_frame_buckets(s_full, view, rc, interpret=True))
     img_w = np.asarray(render_frame_buckets(s_win, view, rc, interpret=True))
     np.testing.assert_array_equal(img_f, img_w)
+
+
+def test_windowed_config_composes_with_sharding():
+    """The air-window composes with the multi-device slab decomposition:
+    a y-windowed config through the sharded production kernels (shard_map,
+    virtual mesh) must match the unsharded windowed fused step slot-for-slot
+    — walls/clamps stay at the true domain on every shard, and the ceiling
+    band applies identically (it is a per-column rule, bitwise-consistent
+    across shard boundaries like the overflow rejection)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mpm_tpu.parallel import domain
+
+    config, fluid, state = _pool_scene(ny=32)
+    wcfg = window_config(config, 16)
+    assert fused.fused_supported(wcfg)
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, wcfg))(state)
+
+    s_ref = b0
+    for _ in range(3):
+        s_ref = fused.substep_fused(s_ref, wcfg, fluid, (), interpret=True)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    step = domain.make_sharded_bucket_step(wcfg, mesh, substeps=3,
+                                           interpret=True)
+    s_sh = step(domain.shard_bucket_state(b0, mesh), fluid, ())
+
+    np.testing.assert_allclose(np.asarray(s_sh.pos), np.asarray(s_ref.pos),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s_sh.ids), np.asarray(s_ref.ids))
+    assert int(s_sh.lost) == int(s_ref.lost) == 0
+    assert int(s_sh.ceiling) == int(s_ref.ceiling)
