@@ -161,9 +161,13 @@ def benchmark_scene(
     g, k_eos, gamma = 0.3, 12.0, 7.0
     rho0 = float(m0)
     if grid_res is None:
-        # square footprint (a z-wide rectangular relabeling — fewer, wider
-        # sweep planes — was measured perf-neutral: the sweep is byte/
-        # compute-bound, not per-plane-overhead-bound)
+        # square footprint. Plane-shape sensitivity re-measured round 3 at
+        # 1M (same cell count): (64,56,64) 6.82 ms/substep, z-wide
+        # (32,56,128) 9.08, x-long (128,56,32) 10.94 — the square footprint
+        # IS the optimum (wider planes stress VMEM rings; more planes pay
+        # per-plane latency). A thin-x footprint "win" ((16,56,256) 4.80 ms)
+        # was invalid: the 10-column pool doesn't fit the domain height and
+        # loses particles.
         side = round((n_target / m0) ** (1.0 / 3.0))
         rx = rz = -((side + 6) // -16) * 16
     else:
