@@ -141,7 +141,8 @@ def main():
 
     frames = 40
     best_dt = None
-    for w in range(3):
+    for w in range(5):  # tunnel frame-DMA contention swings run to run;
+        # best-of-5 windows samples the distribution more fairly
         pending = []
         prev = None
         t0 = time.perf_counter()

@@ -198,6 +198,14 @@ def benchmark_scene(
         # sizes 128-divisible.
         ry = -((n_rows + 11) // -8) * 8  # floor 3 + ~8 cells slosh headroom
         grid_res = (rx, ry, rz)
+    else:
+        # a pool taller than the domain crushes against the ceiling and
+        # overflows buckets (observed: (16, 56, 256) at 1M lost 12,500
+        # particles) — fail loudly instead
+        assert n_rows + 6 <= grid_res[1], (
+            f"benchmark pool needs ~{n_rows + 6} y-cells "
+            f"(footprint {wx}x{wz}), grid_res[1]={grid_res[1]} is too short"
+        )
     config = SimConfig(
         grid_res=grid_res,
         num_particles=n_target,
