@@ -371,6 +371,7 @@ def cmd_render(args):
         ssfr=SSFRParams(particle_sphere_radius=args.sphere_radius),
         sphere_render_ratio=args.sphere_render_ratio,
         quality=args.render_quality,
+        max_radius_px=args.max_radius_px,
     )
     view = jnp.asarray(default_view(scene.config.grid_res))
 
@@ -576,6 +577,15 @@ def main(argv=None):
         choices=["default", "velocity_spheres", "lit_spheres", "depth_debug", "none"],
     )
     p_r.add_argument("--sphere-radius", type=float, default=1.0)
+    p_r.add_argument(
+        "--max-radius-px",
+        type=int,
+        default=6,
+        help="splat disc radius cap in pixels. 6 suits ~360p; at 1080p "
+        "cells project ~11 px apart, so either raise this to ~18 (O(R^2) "
+        "dilation cost) or prefer --render-quality particle with 8 "
+        "(watertight at 1M; see ARCHITECTURE.md 'Renderer')",
+    )
     p_r.add_argument(
         "--render-quality",
         default="cell",
