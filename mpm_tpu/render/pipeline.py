@@ -30,7 +30,6 @@ from .ssfr import (
     depth_debug_image,
     lit_spheres_shade,
     shade,
-    composite_threshold,
     velocity_spheres_composite,
 )
 

@@ -28,10 +28,9 @@ from mpm_tpu.models.scenes import benchmark_scene
 from mpm_tpu.ops import bucketed
 from mpm_tpu.render import Camera, RenderConfig, SSFRParams, default_view
 from mpm_tpu.render.pipeline import frame_to_u8, render_frame_buckets
-from mpm_tpu.render.background import render_background, make_cubemap_sampler
+from mpm_tpu.render.background import render_background
 from mpm_tpu.render.extract_kernel import extract_cell_splats
-from mpm_tpu.render.splat import splat_cells, extract_slot_splats
-from mpm_tpu.render import ssfr as _ssfr
+from mpm_tpu.render.splat import splat_cells
 
 
 def _fence(out):

@@ -432,3 +432,16 @@ def test_refraction_downsample_close_to_exact():
     diff = np.abs(np.asarray(c1) - np.asarray(c2)).mean()
     assert np.isfinite(np.asarray(c2)).all()
     assert diff < 0.01, diff
+
+
+def test_composite_threshold_matches_reference_semantics():
+    """R9 (copy_texture.glsl:28-33): copy src over dst where |rgb| >=
+    color_threshold, keep dst elsewhere."""
+    from mpm_tpu.render.ssfr import composite_threshold
+
+    dst = jnp.ones((4, 4, 3)) * 0.5
+    src = jnp.zeros((4, 4, 3)).at[1, 1].set(0.2).at[2, 2].set(0.001)
+    out = np.asarray(composite_threshold(dst, src, color_threshold=0.01))
+    np.testing.assert_allclose(out[1, 1], 0.2)       # above threshold: src
+    np.testing.assert_allclose(out[2, 2], 0.5)       # below: dst kept
+    np.testing.assert_allclose(out[0, 0], 0.5)
