@@ -141,17 +141,25 @@ class YWindow:
 
     def __init__(self, config: SimConfig, mode: str = "pallas",
                  substeps: int | None = None, quantum: int = 8,
-                 donate: bool = True, sync_polls: bool = False):
+                 donate: bool = True, sync_polls: bool = False,
+                 mesh=None, interpret: bool = False):
         # sync_polls: consume every (maxy, ceiling) readback synchronously —
         # the growth decision then always sees a fresh surface height, so a
         # rise bounded by S cells/chunk can never touch the ceiling band
         # (interference provably 0). Costs a blocking device round-trip per
         # chunk: right on CPU / locally-attached devices, wrong through the
         # axon tunnel (~70 ms RTT).
+        # mesh: a jax.sharding.Mesh -> the chunks run the SHARDED production
+        # kernels (parallel/domain.make_sharded_bucket_step; x-slabs) while
+        # the window tracks y. Resizes are host-coordinated and global (one
+        # wy for every shard); polls/resizes operate on the jit-global view
+        # of the sharded arrays, so no extra collectives are needed.
         if config.dim != 3:
             raise ValueError("YWindow supports 3D configs")
         self.true_config = config
         self.mode = mode
+        self.mesh = mesh
+        self.interpret = interpret
         self.S = substeps if substeps is not None else config.substeps
         self.q = quantum
         self.donate = donate
@@ -175,17 +183,38 @@ class YWindow:
         # poll call costs a full dispatch (~6.5 ms through the tunnel) and
         # an unfused reduce; inside the same computation it is ~free
         if wy not in self._steps:
-            frame = make_frame_fn(window_config(self.true_config, wy),
-                                  mode=self.mode, substeps=self.S)
+            wcfg = window_config(self.true_config, wy)
             nx, _, nz = self.true_config.grid_res
+            if self.mesh is not None:
+                from ..parallel.domain import make_sharded_bucket_step
 
-            def chunk(s, fp, it, wy=wy):
-                s2 = frame(s, fp, it)
-                return s2, _poll_vals(s2, nx, wy, nz)
+                sharded = make_sharded_bucket_step(
+                    wcfg, self.mesh, substeps=self.S,
+                    interpret=self.interpret)
 
-            self._steps[wy] = jax.jit(
-                chunk, donate_argnums=(0,) if self.donate else ())
+                def chunk(s, fp, it, wy=wy):
+                    s2 = sharded(s, fp, it)
+                    return s2, self._poll_jit(wy)(s2)
+
+                self._steps[wy] = chunk  # sharded step is jitted inside
+            else:
+                frame = make_frame_fn(wcfg, mode=self.mode, substeps=self.S)
+
+                def chunk(s, fp, it, wy=wy):
+                    s2 = frame(s, fp, it)
+                    return s2, _poll_vals(s2, nx, wy, nz)
+
+                self._steps[wy] = jax.jit(
+                    chunk, donate_argnums=(0,) if self.donate else ())
         return self._steps[wy]
+
+    def _poll_jit(self, wy: int) -> Callable:
+        key = ("poll", wy)
+        if key not in self._resizes:
+            nx, _, nz = self.true_config.grid_res
+            self._resizes[key] = jax.jit(
+                lambda s: _poll_vals(s, nx, wy, nz))
+        return self._resizes[key]
 
     def _resize_fn(self, wy_o: int, wy_n: int) -> Callable:
         key = (wy_o, wy_n)
@@ -232,8 +261,13 @@ class YWindow:
         self._pending = []
         self.wy = self._target_wy(maxy)
         cfg = self.config
-        return jax.jit(lambda s: bucketed.from_simstate(s, cfg))(
+        b = jax.jit(lambda s: bucketed.from_simstate(s, cfg))(
             jax.device_put(state))
+        if self.mesh is not None:
+            from ..parallel.domain import shard_bucket_state
+
+            b = shard_bucket_state(b, self.mesh)
+        return b
 
     def step(self, state: bucketed.BucketState, fp: FluidParams,
              interactions: Sequence[Interaction] = ()) -> bucketed.BucketState:

@@ -238,3 +238,39 @@ def test_windowed_config_composes_with_sharding():
     np.testing.assert_array_equal(np.asarray(s_sh.ids), np.asarray(s_ref.ids))
     assert int(s_sh.lost) == int(s_ref.lost) == 0
     assert int(s_sh.ceiling) == int(s_ref.ceiling)
+
+
+def test_dynamic_window_driver_over_mesh():
+    """The full dynamic window driver (grow/shrink) over a device mesh:
+    a collapsing column stepped by YWindow(mesh=...) must match the
+    unsharded windowed driver exactly, including the resize schedule."""
+    from jax.sharding import Mesh
+
+    grid = (16, 48, 16)
+    pos = box_lattice(grid, (4.0, 24.0, 4.0), 0.8, center=(8.0, 14.0, 8.0))
+    config = SimConfig(grid_res=grid, num_particles=pos.shape[0],
+                       substeps=2, bin_capacity=8)
+    fluid = FluidParams.create(dim=3, eos_stiffness=4.0, eos_power=4.0)
+    n = config.num_particles
+    state = make_state(pos)
+
+    win1 = YWindow(config, mode="pallas", substeps=4, donate=False,
+                   quantum=4, sync_polls=True, interpret=True)
+    s1 = win1.init(state)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    win2 = YWindow(config, substeps=4, donate=False, quantum=4,
+                   sync_polls=True, mesh=mesh, interpret=True)
+    s2 = win2.init(state)
+    assert win1.wy == win2.wy
+    for _ in range(10):
+        s1 = win1.step(s1, fluid, ())
+        s2 = win2.step(s2, fluid, ())
+        assert win1.wy == win2.wy, "resize schedules diverged"
+    # sharded P2G stages accumulate in a different order than unsharded
+    # kernel P — allclose like tests/test_sharded.py; ids exact
+    a, b = _linear(s1, n), _linear(s2, n)
+    for x, y in zip(a[:4], b[:4]):
+        np.testing.assert_allclose(x, y, atol=1e-5)
+    np.testing.assert_array_equal(a[4], b[4])
+    assert win2.resizes >= 1  # the collapse shrank the window
+    assert win1.interference == 0 and win2.interference == 0
