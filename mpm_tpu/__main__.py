@@ -498,6 +498,9 @@ def cmd_render(args):
         if len(pending) > 4:
             pending.pop(0).result()
 
+    from .utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(path=args.metrics)
     prev = None
     for i in range(args.frames):
         td0 = time.perf_counter()
@@ -532,6 +535,21 @@ def cmd_render(args):
         stats.tick()
         if i == 0:
             print(f"first frame (compile): {time.perf_counter() - t0:.1f}s")
+            metrics.log("compile", seconds=round(time.perf_counter() - t0, 3),
+                        scene=scene.name, mode=mode,
+                        n=scene.state.num_particles)
+        elif args.metrics:
+            s_ = stats.stats
+            metrics.log("frame", i=i, last_ms=round(s_["last_ms"], 3),
+                        dev_ms=round(s_["dev_ms"], 3),
+                        host_ms=round(s_["host_ms"], 3))
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            from .utils import checkpoint
+
+            os.makedirs(args.checkpoint_dir, exist_ok=True)
+            ck = os.path.join(args.checkpoint_dir, f"frame_{i+1:05d}.npz")
+            checkpoint.save(ck, state, scene.fluid, scene.config)
+            print(f"checkpointed {ck}")
     if prev is not None:
         flush(*prev)
     for f in pending:
@@ -544,6 +562,19 @@ def cmd_render(args):
         f"min {s['min_ms']:.0f} max {s['max_ms']:.0f}, incl. PNG IO; "
         f"dev {s['dev_ms']:.1f} ms | host {s['host_ms']:.1f} ms)"
     )
+    if mode in ("bucketed", "pallas"):
+        lost = int(np.asarray(state.lost))
+        ceil = int(np.asarray(getattr(state, "ceiling", 0)))
+        metrics.log("counters", lost=lost,
+                    deferred=int(np.asarray(state.deferred)),
+                    cfl_clamped=int(np.asarray(state.cfl_clamped)),
+                    ceiling=ceil)
+        if lost or ceil:
+            print(f"lost: {lost} window-ceiling: {ceil}")
+    metrics.log("summary", frames=args.frames,
+                avg_ms=round(s["avg_ms"], 2), dev_ms=round(s["dev_ms"], 2),
+                host_ms=round(s["host_ms"], 2))
+    metrics.close()
 
 
 def cmd_info(args):

@@ -84,3 +84,29 @@ def test_cli_render_orbit_camera(tmp_path):
     a = read_png_rgb(str(out / "frame_00000.png")).astype(float)
     b = read_png_rgb(str(out / "frame_00002.png")).astype(float)
     assert np.abs(a - b).mean() > 1.0  # the view moved
+
+
+def test_cli_render_metrics_and_checkpoint(tmp_path):
+    """The render command honors --metrics and --checkpoint-every (they
+    were silently ignored until the round-3 soak test caught it)."""
+    import json
+
+    out = tmp_path / "f"
+    met = tmp_path / "m.jsonl"
+    ck = tmp_path / "ck"
+    main([
+        "render", "fluid_3d_cpu", "--frames", "3", "--mode", "bucketed",
+        "--substeps", "1", "--width", "120", "--height", "80",
+        "--out", str(out), "--metrics", str(met),
+        "--checkpoint-every", "2", "--checkpoint-dir", str(ck),
+    ])
+    events = [json.loads(l)["event"] for l in met.read_text().splitlines()]
+    assert "compile" in events and "summary" in events and "frame" in events
+    cks = glob.glob(str(ck / "*.npz"))
+    assert cks
+    # resume from the render checkpoint
+    main([
+        "render", "fluid_3d_cpu", "--frames", "1", "--mode", "bucketed",
+        "--substeps", "1", "--width", "120", "--height", "80",
+        "--out", str(out), "--resume", cks[0],
+    ])
