@@ -179,7 +179,8 @@ def main():
     t0 = time.perf_counter()
     for _ in range(30):
         state, img = frame(state, scene.fluid, (), view, bg)
-    jax.block_until_ready(img)
+    np.asarray(img[:1, :1, 0])  # fence: block_until_ready can return while
+    # compute still streams on the tunneled platform (measurement rules)
     dev_ms = (time.perf_counter() - t0) / 30 * 1e3
     print(f"# device-only frame: {dev_ms:.1f} ms "
           f"({substeps * n / dev_ms / 1e3:.1f}M ps/s device-bound)",

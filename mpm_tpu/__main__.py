@@ -191,11 +191,26 @@ def _build(args):
         from .utils import checkpoint
 
         state, fluid, ck_config, _ = checkpoint.load(args.resume)
+        # a checkpoint written during a --window auto run stores WINDOW-sized
+        # bucket arrays with domain_res = the true grid (ADVICE r3: saving
+        # the true config let such a checkpoint pass validation and fail at
+        # step time with an opaque shape error). The true domain of the
+        # checkpoint is domain_res when windowed, grid_res otherwise.
+        ck_windowed = bool(ck_config and ck_config.get("domain_res"))
+        if ck_config is not None:
+            ck_grid = tuple(ck_config.get("domain_res")
+                            or ck_config.get("grid_res",
+                                             scene.config.grid_res))
+            if ck_grid != tuple(scene.config.grid_res):
+                raise SystemExit(
+                    f"checkpoint domain {ck_grid} != scene grid "
+                    f"{scene.config.grid_res}; pass the matching scene"
+                )
+        if (windowed or ck_windowed) and isinstance(state, bucketed.BucketState):
+            # window sizes are run-local: un-window to a linear SimState
+            # (config-free), then re-bucket at this run's shapes below
+            state = bucketed.to_simstate(state, scene.config.num_particles)
         if windowed:
-            # window sizes are run-local: re-window the checkpoint state
-            if isinstance(state, bucketed.BucketState):
-                state = bucketed.to_simstate(
-                    state, scene.config.num_particles)
             state = win.init(state)
         # validate the checkpoint against the selected mode/scene (ADVICE r1:
         # a binned-mode SimState resumed under bucketed mode fails at step
@@ -210,16 +225,9 @@ def _build(args):
         elif is_bucket and not want_bucket:
             state = bucketed.to_simstate(state, scene.config.num_particles)
             print("converted bucket checkpoint state to linear")
-        if ck_config is not None:
-            ck_grid = tuple(ck_config.get("grid_res", scene.config.grid_res))
-            if tuple(ck_grid) != tuple(scene.config.grid_res):
-                raise SystemExit(
-                    f"checkpoint grid {ck_grid} != scene grid "
-                    f"{scene.config.grid_res}; pass the matching scene"
-                )
         scene = scene._replace(fluid=fluid)
         print(f"resumed from {args.resume}")
-    return scene, step, state, mode
+    return scene, step, state, mode, win
 
 
 def cmd_run(args):
@@ -228,7 +236,7 @@ def cmd_run(args):
     _setup_jax()
     from .utils.timing import FrameStats, fence
 
-    scene, step, state, mode = _build(args)
+    scene, step, state, mode, win = _build(args)
     n = scene.state.num_particles
     substeps = args.substeps or scene.config.substeps
     inter0, inter_fn = _parse_interactions(args, scene.config)
@@ -261,7 +269,10 @@ def cmd_run(args):
 
             os.makedirs(args.checkpoint_dir, exist_ok=True)
             path = os.path.join(args.checkpoint_dir, f"frame_{i+1:05d}.npz")
-            checkpoint.save(path, state, scene.fluid, scene.config)
+            # windowed runs save the CURRENT windowed config (domain_res =
+            # the true grid) so resume can detect + re-window the state
+            checkpoint.save(path, state, scene.fluid,
+                            win.config if win else scene.config)
             print(f"checkpointed {path}")
         stats.tick()
     fence(state)
@@ -359,7 +370,7 @@ def cmd_render(args):
         write_png,
     )
 
-    scene, step, state, mode = _build(args)
+    scene, step, state, mode, win = _build(args)
     fluid0, fluid_fn = _apply_fluid_overrides(args, scene.fluid)
     scene = scene._replace(fluid=fluid0)
     if scene.config.dim == 2:
@@ -548,7 +559,8 @@ def cmd_render(args):
 
             os.makedirs(args.checkpoint_dir, exist_ok=True)
             ck = os.path.join(args.checkpoint_dir, f"frame_{i+1:05d}.npz")
-            checkpoint.save(ck, state, scene.fluid, scene.config)
+            checkpoint.save(ck, state, scene.fluid,
+                            win.config if win else scene.config)
             print(f"checkpointed {ck}")
     if prev is not None:
         flush(*prev)

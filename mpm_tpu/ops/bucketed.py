@@ -278,6 +278,10 @@ def g2p_bucketed(
         lost=state.lost,
         cfl_clamped=state.cfl_clamped + jnp.sum(moved.astype(jnp.int32)),
         deferred=state.deferred,
+        # ceiling must survive the rebuild: YWindow._confirm diffs this
+        # counter as a monotonic series — resetting it each substep would let
+        # a windowed bucketed run falsely certify bit-exactness
+        ceiling=state.ceiling,
     )
 
 

@@ -1068,6 +1068,19 @@ def substep_fused(
         # float-only); out-of-envelope fixed configs run the XLA engine
         config.fixed_point and not p2g_update_supported(config)
     ):
+        if config.domain_res is not None:
+            # the per-pass fallback kernels do NOT enforce the air-window
+            # ceiling band — a windowed config routed there could migrate
+            # movers into (and off the top of) the window, losing particles
+            # silently. Fail loudly instead: windowed runs must stay on the
+            # fused path or use mode="bucketed" (whose reject_overflow does
+            # enforce the band).
+            raise ValueError(
+                "windowed config (domain_res set) is outside the fused "
+                "kernel envelope; the per-pass fallback does not enforce "
+                "the ceiling band. Use mode='bucketed', a larger window "
+                "quantum, or a non-windowed config."
+            )
         from .bucket_kernels import substep as substep_planes
 
         return substep_planes(state, config, fp, interactions, interpret=interpret)

@@ -69,12 +69,17 @@ def make_frame_fn(
     config: SimConfig,
     mode: str = "auto",
     substeps: int | None = None,
+    interpret: bool = False,
 ) -> Callable[[SimState, FluidParams, tuple[Interaction, ...]], SimState]:
-    """The UNjitted per-frame function (scan over substeps)."""
+    """The UNjitted per-frame function (scan over substeps). `interpret`
+    runs the Pallas kernels in interpret mode (CPU tests)."""
+    substep_fn = resolve_substep(mode)
+    if interpret and mode == "pallas":
+        substep_fn = partial(substep_fn, interpret=True)
     return partial(
         _frame,
         config=config,
-        substep_fn=resolve_substep(mode),
+        substep_fn=substep_fn,
         substeps=substeps if substeps is not None else config.substeps,
     )
 

@@ -162,6 +162,15 @@ class YWindow:
         self.interpret = interpret
         self.S = substeps if substeps is not None else config.substeps
         self.q = quantum
+        if mode == "pallas" or mesh is not None:
+            # the fused kernels (and the sharded path, which uses them with
+            # no fallback) require 128-divisible plane sizes wy*nz; round the
+            # quantum up so EVERY window height stays on the fused path —
+            # the per-pass fallback kernels do not enforce the ceiling band
+            # (substep_fused raises rather than silently losing the
+            # invariant, ADVICE r3)
+            nz = config.grid_res[2]
+            self.q = quantum * (128 // math.gcd(quantum * nz, 128))
         self.donate = donate
         self.sync_polls = sync_polls
         self.wy = config.grid_res[1]
@@ -198,7 +207,8 @@ class YWindow:
 
                 self._steps[wy] = chunk  # sharded step is jitted inside
             else:
-                frame = make_frame_fn(wcfg, mode=self.mode, substeps=self.S)
+                frame = make_frame_fn(wcfg, mode=self.mode, substeps=self.S,
+                                      interpret=self.interpret)
 
                 def chunk(s, fp, it, wy=wy):
                     s2 = frame(s, fp, it)
@@ -279,8 +289,7 @@ class YWindow:
         if hits and self.wy < ny:
             # fluid is pressing the ceiling: grow aggressively NOW (the
             # certificate already recorded the interference)
-            while self._pending:
-                self._confirm(block=True)
+            self._confirm(block=True)
             need = min(ny, self._target_wy(self._confirmed) + 2 * self.q)
         else:
             need = self._target_wy(self._confirmed)
@@ -289,11 +298,7 @@ class YWindow:
             # drain in-flight reads before resizing (shrink decisions must
             # be exact; resize fns expect the freshest state anyway)
             self._confirm(block=True)
-            while self._pending:
-                self._confirm(block=True)
             need = self._target_wy(self._confirmed)
-            if hits or self.interference > 0:
-                need = min(ny, need)
         if need != self.wy:
             state = self._resize_fn(self.wy, need)(state)
             self.wy = need

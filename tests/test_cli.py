@@ -66,6 +66,14 @@ def test_cli_window_checkpoint_resume(tmp_path):
         "run", "fluid_3d_cpu", "--frames", "1", "--mode", "bucketed",
         "--substeps", "1", "--window", "auto", "--resume", cks[-1],
     ])
+    # ADVICE r3: a windowed checkpoint resumed WITHOUT --window used to pass
+    # validation (it stored the TRUE grid) then die at step time on the
+    # window-shaped arrays; the checkpoint now records the windowed config
+    # (domain_res = true grid) and resume un-windows the state
+    main([
+        "run", "fluid_3d_cpu", "--frames", "1", "--mode", "bucketed",
+        "--substeps", "1", "--resume", cks[-1],
+    ])
 
 
 def test_cli_render_orbit_camera(tmp_path):

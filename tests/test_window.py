@@ -181,6 +181,42 @@ def test_ceiling_band_rejects_and_counts():
     assert int(s_x.ceiling) == int(s_f.ceiling)
 
 
+def test_ceiling_counter_is_cumulative_across_substeps():
+    """Regression (ADVICE r3): g2p_bucketed rebuilt BucketState without
+    ceiling=, resetting the counter every substep — after a multi-substep
+    chunk it held only the LAST substep's hits, so YWindow._confirm (which
+    diffs a supposedly monotonic counter) could under-count interference
+    and falsely certify a windowed run. The counter must accumulate across
+    substeps identically in the XLA-bucketed and fused engines."""
+    import dataclasses
+
+    grid = (16, 32, 16)
+    wcfg = window_config(
+        SimConfig(grid_res=grid, num_particles=0, substeps=2, bin_capacity=8),
+        16)
+    pos = np.stack(np.meshgrid(np.arange(5, 11) + 0.5,
+                               [12.9], np.arange(5, 11) + 0.5,
+                               indexing="ij"), -1).reshape(-1, 3)
+    st = make_state(np.asarray(pos, np.float32))
+    st = dataclasses.replace(st, vel=jnp.asarray(st.vel).at[1].set(5.0))
+    fluid = FluidParams.create(dim=3, gravity=0.0)
+    wcfg = dataclasses.replace(wcfg, num_particles=pos.shape[0])
+
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, wcfg))(st)
+    s_x, s_f = b0, b0
+    ceil_after_1 = None
+    for i in range(3):
+        s_x = jax.jit(lambda b, f: bucketed.substep(b, wcfg, f, ()))(s_x, fluid)
+        s_f = fused.substep_fused(s_f, wcfg, fluid, (), interpret=True)
+        if i == 0:
+            ceil_after_1 = int(s_x.ceiling)
+            assert ceil_after_1 > 0
+        assert int(s_x.ceiling) == int(s_f.ceiling)
+    # hits occur on EVERY substep here (movers keep pressing the band), so a
+    # reset-per-substep counter would show ~ceil_after_1, not the sum
+    assert int(s_x.ceiling) > ceil_after_1
+
+
 def test_windowed_state_renders_identically():
     """Rendering a windowed state must produce the same frame as the
     full-grid state (positions are world-space; the renderer never sees the
