@@ -1,160 +1,188 @@
 #!/usr/bin/env python
 """Headline benchmark: particle-steps/sec at 1M 3D particles on one chip.
 
-Prints TWO JSON lines (the north star reads ">= 1e9 particle-steps/sec ...
+Prints FOUR JSON lines (the north star reads ">= 1e9 particle-steps/sec ...
 at 1M 3D particles WITH SSFR frame export", BASELINE.md):
 
-  1. particle_steps_per_sec_1M_3d            — simulation only
-  2. particle_steps_per_sec_1M_3d_with_render — sustained pipeline
-     throughput with an SSFR frame rendered AND PNG-encoded every
-     `substeps` substeps (the product's frame loop; encode overlaps device
-     compute on a worker thread, as in `python -m mpm_tpu render`)
+  1. particle_steps_per_sec_1M_3d_dynamic — a 1M dam-break measured
+     MID-COLLAPSE (the engine under full migration churn, zero loss
+     asserted; the settled-pool lines below let the zero-mover gates fire,
+     this one does not)
+  2. particle_steps_per_sec_1M_3d            — simulation only, settled pool
+  3. particle_steps_per_sec_1M_3d_render_1080p — device-bound full frame at
+     1920x1080 (particle-quality watertight recipe, the reference's own
+     resolution, project.godot:25-27); sustained-with-export is a field
+     (the axon tunnel moves ~35 MB/s, so 1080p export is tunnel-bound —
+     the device number is the interactive-rate analogue of the reference's
+     GPU frame time)
+  4. particle_steps_per_sec_1M_3d_with_render — sustained pipeline
+     throughput at 640x360 with an SSFR frame rendered AND PNG-encoded
+     every `substeps` substeps. Printed LAST — the official headline.
 
-The with-render line is printed LAST — it is the official headline; the
-sim-only line is kept for round-over-round comparability. vs_baseline is
-value / 1e9.
+Each phase runs in a FRESH SUBPROCESS (the project's measurement rule:
+long-lived processes with many live buffers degrade effective bandwidth
+several-fold — a single-process version measured the 640x360 phase 2x
+slower after the 1080p phase had run). The persistent compilation cache
+keeps the per-phase compile cost to seconds after the first round.
 
-Timing uses a device->host fence (see mpm_tpu/utils/timing.py) — never trust
-block_until_ready alone on tunneled platforms.
+The pool lines run the production AIR-WINDOW engine (ops/window.py, the
+same path `python -m mpm_tpu run --window auto` takes) at headroom=4 over
+the settled pool: arrays cover the occupied y-range + the in-kernel ceiling
+band, and `interference == 0` is ASSERTED — the certificate that the
+windowed trajectory is bit-equal to the full-grid trajectory
+(tests/test_window.py proves the implication).
+
+Timing uses a device->host fence (see mpm_tpu/utils/timing.py) — never
+trust block_until_ready alone on tunneled platforms.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
-import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+def _jax():
+    import jax
 
-from mpm_tpu import make_step
-from mpm_tpu.models.scenes import benchmark_scene
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    return jax
 
 
-def main():
-    n_target = 1_000_000
-    scene = benchmark_scene(n_target)
-    n = scene.state.num_particles
-    print(f"# bench scene: {n} particles, grid {scene.config.grid_res}, "
-          f"device {jax.devices()[0]}", file=sys.stderr)
+# --------------------------------------------------------------- phases
 
+
+def phase_dynamic(n_target=1_000_000):
+    """1M dam-break, measured mid-collapse (ladder 'dam' protocol)."""
+    jax = _jax()
+    from mpm_tpu import make_step
+    from mpm_tpu.models.scenes import benchmark_dam_break
     from mpm_tpu.ops import bucketed
 
+    scene = benchmark_dam_break(n_target)
+    n = scene.state.num_particles
+    config, fluid = scene.config, scene.fluid
     mode = "bucketed" if jax.default_backend() == "cpu" else "pallas"
-    print(f"# step mode: {mode}", file=sys.stderr)
-    # chunked stepping: 10 substeps scan per jit call — per-call Python/tunnel
-    # dispatch overhead is real on this platform, and the product runs frames
-    # (multi-substep scans), not single substeps
     chunk = 10
-    step = make_step(scene.config, mode=mode, substeps=chunk)
-    state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(
-        jax.device_put(scene.state)
-    )
-
-    # warmup: compile + settle the pool into its steady sloshing state so the
-    # measurement reflects sustained throughput, not the one-off settling
-    # transient (the full-width pool settles by vertical compression only)
+    step = make_step(config, mode=mode, substeps=chunk)
+    state = jax.jit(lambda s: bucketed.from_simstate(s, config))(
+        jax.device_put(scene.state))
+    del scene
     t0 = time.perf_counter()
-    for _ in range(150 // chunk):
-        state = step(state, scene.fluid, ())
-    np.asarray(state.pos[:1])
-    lost_warm = int(np.asarray(state.lost)) if hasattr(state, "lost") else 0
-    print(f"# warmup/compile+settle: {time.perf_counter() - t0:.1f}s, "
-          f"settling overflow loss: {lost_warm}", file=sys.stderr)
-
-    # best of 3 windows: the tunneled platform's effective bandwidth swings
-    # ±20% run to run (ARCHITECTURE.md "Platform gotchas"); min-time-of-k is
-    # the standard way to report sustained throughput under external noise
+    for _ in range(6):  # advance to substep 60: the front is mid-collapse
+        state = step(state, fluid, ())
+    np.asarray(state.lost)
+    print(f"# dam-break: {n} particles, grid {config.grid_res}; "
+          f"compile+advance 60 substeps: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     iters = 100
-    best_dt = None
-    for w in range(3):
+    best = None
+    for w in range(2):  # substeps 60-260 cover the collapse front
         t0 = time.perf_counter()
         for _ in range(iters // chunk):
-            state = step(state, scene.fluid, ())
-        np.asarray(state.lost)  # fence: computed by the sweep's last step
+            state = step(state, fluid, ())
+        np.asarray(state.lost)
         dt = time.perf_counter() - t0
-        print(f"# window {w}: {iters} substeps in {dt:.3f}s", file=sys.stderr)
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    host = np.asarray(state.pos)
-    dt = best_dt
-
-    assert np.all(np.isfinite(host)), "simulation produced non-finite positions"
+        print(f"# dam window {w}: {iters} substeps in {dt:.3f}s",
+              file=sys.stderr)
+        best = dt if best is None else min(best, dt)
     lost = int(np.asarray(state.lost))
-    print(f"# lost during measurement windows: {lost - lost_warm} "
-          f"(total incl. settling: {lost})", file=sys.stderr)
-    value = iters * n / dt
-    print(json.dumps({
-        "metric": "particle_steps_per_sec_1M_3d",
+    deferred = int(np.asarray(state.deferred))
+    assert lost == 0, f"dam-break lost {lost} particles"
+    assert np.all(np.isfinite(np.asarray(state.pos)))
+    value = iters * n / best
+    print(f"# dam-break mid-collapse: {value / 1e6:.1f}M ps/s, lost=0, "
+          f"deferred={deferred} (transients absorbed, zero loss)",
+          file=sys.stderr)
+    return [{
+        "metric": "particle_steps_per_sec_1M_3d_dynamic",
         "value": value,
         "unit": "particle-steps/s",
         "vs_baseline": value / 1e9,
-        "particles_lost": lost,
-    }))
+        "particles_lost": 0,
+        "moves_deferred": deferred,
+    }]
 
-    # ---- official headline: sim + SSFR frame export, sustained ----
-    # frame loop identical to `python -m mpm_tpu render bench3d`: per frame,
-    # `substeps` substeps then a full SSFR frame (Pallas cell extraction +
-    # z-buffer splat + blur + shade) and a PNG encode on a worker thread
-    # overlapping the next frame's device compute
+
+def _settled_pool(n_target, chunk=10):
+    """Settle the benchmark pool on the production air-window engine;
+    returns (scene, win, state, lost_after_settle)."""
+    jax = _jax()
+    from mpm_tpu.models.scenes import benchmark_scene
+    from mpm_tpu.ops.window import YWindow
+
+    scene = benchmark_scene(n_target)
+    n = scene.state.num_particles
+    backend_cpu = jax.default_backend() == "cpu"
+    mode = "bucketed" if backend_cpu else "pallas"
+    print(f"# bench scene: {n} particles, TRUE grid {scene.config.grid_res}, "
+          f"device {jax.devices()[0]}; step mode: {mode} "
+          f"(air-window, headroom=4)", file=sys.stderr)
+    win = YWindow(scene.config, mode=mode, substeps=chunk, headroom=4,
+                  interpret=backend_cpu)
+    state = win.init(scene.state)
+    print(f"# window: wy={win.wy} of ny={scene.config.grid_res[1]} "
+          f"({win.config.num_cells * scene.config.bin_capacity / n:.2f} "
+          f"slots/particle)", file=sys.stderr)
+    # warmup: compile + settle the pool into its steady sloshing state so
+    # the measurement reflects sustained throughput, not the settling
+    # transient (the full-width pool settles by vertical compression only)
+    t0 = time.perf_counter()
+    for _ in range(150 // chunk):
+        state = win.step(state, scene.fluid, ())
+    np.asarray(state.pos[:1])
+    lost = int(np.asarray(state.lost))
+    print(f"# warmup/compile+settle: {time.perf_counter() - t0:.1f}s, "
+          f"settling overflow loss: {lost}", file=sys.stderr)
+    return scene, win, state, lost
+
+
+def _render_loop(scene, win, state, rc, frames, windows, label,
+                 substeps=None):
+    """Sustained frame loop (device compute + tunnel DMA + PNG export
+    overlapped) and a fenced device-only frame diagnostic. The window is
+    FROZEN (the pool is settled and certified); the in-kernel ceiling band
+    keeps counting — callers assert zero afterwards."""
     import tempfile
     from concurrent.futures import ThreadPoolExecutor
 
-    import functools
-
-    from mpm_tpu.render import RenderConfig, Camera, default_view, write_png
-    from mpm_tpu.render.pipeline import frame_to_u8, render_frame_buckets
-
-    substeps = scene.config.substeps  # 2, the reference flagship's rate
-    rc = RenderConfig(camera=Camera(width=640, height=360))
-    view = default_view(scene.config.grid_res)
-    # The ray-traced background depends only on (camera, view) — compute it
-    # ONCE for the static-camera loop. In-context attribution
-    # (scripts/render_attrib.py) measured the fused per-frame recomputation
-    # at ~1.7 ms of the 7.2 ms render. Frames leave the device as u8
-    # (frame_to_u8): the tunnel moves ~35 MB/s, so the f32 frame transfer
-    # would dominate the loop.
+    jax = _jax()
+    from mpm_tpu.render import default_view, write_png
     from mpm_tpu.render.pipeline import (
         background_for_view,
         make_full_frame_step,
     )
 
+    n = scene.config.num_particles
+    substeps = substeps or scene.config.substeps
+    view = default_view(scene.config.grid_res)
     bg = background_for_view(rc, view)
-    # ONE jit per frame: the step's kernel F EMITS the per-cell splats (the
-    # reference's g2p writes its render texture in-kernel, g2p.glsl:149-150)
-    # and the SSFR chain + u8 tonemap run in the same computation — the
-    # renderer never re-reads the particle state and the host pays a single
-    # dispatch per frame (a separate jit call costs ~7 ms through the
-    # tunnel, ARCHITECTURE.md "Platform gotchas")
-    frame = make_full_frame_step(
-        scene.config, rc, substeps,
-        interpret=jax.default_backend() == "cpu")
-    outdir = tempfile.mkdtemp(prefix="bench_frames_")
-    # 4 workers / queue depth 4: PNG encodes (~15 ms, GIL-released zlib) must
-    # not starve frame pickup; 2 workers measured 33 ms/frame vs 24 with 4
+    frame = make_full_frame_step(win.config, rc, substeps,
+                                 interpret=jax.default_backend() == "cpu")
+    outdir = tempfile.mkdtemp(prefix=f"bench_frames_{label}_")
+    # 4 workers / queue depth 4: PNG encodes (~15 ms, GIL-released zlib)
+    # must not starve frame pickup; 2 workers measured 33 ms/frame vs 24
     pool = ThreadPoolExecutor(max_workers=4)
-
     t0 = time.perf_counter()
     state, img = frame(state, scene.fluid, (), view, bg)  # warm/compile
     np.asarray(img[:1, :1, 0])
-    print(f"# render compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    frames = 40
-    best_dt = None
-    for w in range(5):  # tunnel frame-DMA contention swings run to run;
-        # best-of-5 windows samples the distribution more fairly
+    print(f"# {label} render compile: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    best = None
+    for w in range(windows):
         pending = []
         prev = None
         t0 = time.perf_counter()
         for i in range(frames):
             state, img = frame(state, scene.fluid, (), view, bg)
             # kick off the device->host DMA immediately so the tunnel
-            # transfer overlaps the next frame's dispatch (the worker's
-            # np.asarray then just picks up a finished copy) — measured
-            # 36 -> 24 ms/frame vs transferring lazily on the worker
+            # transfer overlaps the next frame's dispatch
             img.copy_to_host_async()
             if prev is not None:
-                # encode on the worker: the main loop never blocks on PNG
                 pending.append(pool.submit(
                     lambda img=prev, i=i: write_png(
                         f"{outdir}/f_{i:03d}.png", np.asarray(img))
@@ -168,29 +196,83 @@ def main():
         np.asarray(prev[:1, :1, 0])  # fence the last frame's device chain
         write_png(f"{outdir}/f_last.png", np.asarray(prev))
         dt = time.perf_counter() - t0
-        print(f"# render window {w}: {frames} frames ({frames * substeps} "
-              f"substeps) in {dt:.3f}s", file=sys.stderr)
-        best_dt = dt if best_dt is None else min(best_dt, dt)
+        print(f"# {label} render window {w}: {frames} frames "
+              f"({frames * substeps} substeps) in {dt:.3f}s",
+              file=sys.stderr)
+        best = dt if best is None else min(best, dt)
     pool.shutdown()
-    # device-only frame cost (fenced, no host transfer/PNG): separates the
-    # engine's capability from the axon tunnel's ~35 MB/s frame-DMA
-    # contention (a 640x360 u8 frame is ~20 ms of tunnel transfer,
-    # overlapped at best) — the reference's CPU vs GPU frame-time split
+    # device-only frame cost (fenced by pulling one element — never
+    # block_until_ready on this platform; no host transfer/PNG in the
+    # window): separates the engine's capability from the axon tunnel's
+    # ~35 MB/s frame-DMA — the reference's CPU vs GPU frame-time split
+    reps = 30 if rc.camera.width < 1000 else 10
     t0 = time.perf_counter()
-    for _ in range(30):
+    for _ in range(reps):
         state, img = frame(state, scene.fluid, (), view, bg)
-    np.asarray(img[:1, :1, 0])  # fence: block_until_ready can return while
-    # compute still streams on the tunneled platform (measurement rules)
-    dev_ms = (time.perf_counter() - t0) / 30 * 1e3
-    print(f"# device-only frame: {dev_ms:.1f} ms "
+    np.asarray(img[:1, :1, 0])
+    dev_ms = (time.perf_counter() - t0) / reps * 1e3
+    print(f"# {label} device-only frame: {dev_ms:.1f} ms "
           f"({substeps * n / dev_ms / 1e3:.1f}M ps/s device-bound)",
           file=sys.stderr)
+    return state, best, dev_ms
+
+
+def phase_pool(n_target=1_000_000):
+    """Sim-only + the official 640x360 with-render headline."""
+    chunk = 10
+    scene, win, state, lost_warm = _settled_pool(n_target, chunk)
+    n = scene.config.num_particles
+    # best of 3 windows: the tunneled platform's effective bandwidth swings
+    # ±20% run to run (ARCHITECTURE.md "Platform gotchas"); min-time-of-k
+    # is the standard way to report sustained throughput under noise
+    iters = 100
+    best_dt = None
+    for w in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters // chunk):
+            state = win.step(state, scene.fluid, ())
+        np.asarray(state.lost)  # fence: computed by the sweep's last step
+        dt = time.perf_counter() - t0
+        print(f"# window {w}: {iters} substeps in {dt:.3f}s (wy={win.wy})",
+              file=sys.stderr)
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    assert np.all(np.isfinite(np.asarray(state.pos)))
+    lost = int(np.asarray(state.lost))
+    ceiling = int(np.asarray(state.ceiling))
+    assert ceiling == 0 and win.interference == 0, (
+        f"air-window interference ({ceiling} ceiling hits) — the windowed "
+        "run is not certified bit-equal this round")
+    print(f"# lost during measurement windows: {lost - lost_warm} "
+          f"(total incl. settling: {lost}); window certificate: "
+          f"interference=0 (bit-equal to the full grid)", file=sys.stderr)
+    value = iters * n / best_dt
+    sim_line = {
+        "metric": "particle_steps_per_sec_1M_3d",
+        "value": value,
+        "unit": "particle-steps/s",
+        "vs_baseline": value / 1e9,
+        "particles_lost": lost,
+        "window_wy": win.wy,
+        "window_interference": 0,
+    }
+
+    # the official headline: sustained 640x360 with PNG export, the frame
+    # loop identical to `python -m mpm_tpu render`: per frame, `substeps`
+    # substeps with in-kernel splat emission + SSFR + u8 tonemap in ONE jit
+    from mpm_tpu.render import Camera, RenderConfig
+
+    rc = RenderConfig(camera=Camera(width=640, height=360))
+    frames = 40
+    substeps = scene.config.substeps  # 2, the reference flagship's rate
+    state, best, dev_ms = _render_loop(scene, win, state, rc, frames, 5,
+                                       "640x360")
     lost2 = int(np.asarray(state.lost))
-    value_r = frames * substeps * n / best_dt
+    assert int(np.asarray(state.ceiling)) == 0
+    value_r = frames * substeps * n / best
     print(f"# with-render: {value_r / 1e6:.1f}M ps/s at 640x360, "
-          f"{best_dt / frames * 1e3:.1f} ms/frame, lost={lost2 - lost}",
+          f"{best / frames * 1e3:.1f} ms/frame, lost={lost2 - lost}",
           file=sys.stderr)
-    print(json.dumps({
+    return [sim_line, {
         "metric": "particle_steps_per_sec_1M_3d_with_render",
         "value": value_r,
         "unit": "particle-steps/s",
@@ -199,7 +281,72 @@ def main():
         "device_only_frame_ms": dev_ms,
         "render_resolution": "640x360",
         "particles_lost": lost2,
-    }))
+        "window_interference": 0,
+    }]
+
+
+def phase_1080p(n_target=1_000_000):
+    """The reference's own resolution: 1920x1080, particle-quality
+    watertight recipe (ARCHITECTURE.md "1080p recipes"); value = the
+    device-bound rate (the tunnel's 1080p frame DMA is a harness artifact —
+    the reference displays locally)."""
+    from mpm_tpu.render import Camera, RenderConfig
+
+    scene, win, state, _ = _settled_pool(n_target)
+    n = scene.config.num_particles
+    substeps = scene.config.substeps
+    rc = RenderConfig(camera=Camera(width=1920, height=1080),
+                      quality="particle", max_radius_px=8)
+    frames = 10
+    state, best, dev_ms = _render_loop(scene, win, state, rc, frames, 2,
+                                       "1080p")
+    assert int(np.asarray(state.ceiling)) == 0
+    value_dev = substeps * n / (dev_ms / 1e3)
+    return [{
+        "metric": "particle_steps_per_sec_1M_3d_render_1080p",
+        "value": value_dev,
+        "unit": "particle-steps/s",
+        "vs_baseline": value_dev / 1e9,
+        "device_only_frame_ms": dev_ms,
+        "sustained_with_export": frames * substeps * n / best,
+        "render_resolution": "1920x1080",
+        "render_quality": "particle(r=8, watertight)",
+    }]
+
+
+PHASES = {"dynamic": phase_dynamic, "pool": phase_pool, "1080p": phase_1080p}
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--phase":
+        for line in PHASES[sys.argv[2]]():
+            print(json.dumps(line))
+        return
+
+    # parent: one fresh subprocess per phase (measurement rule), JSON lines
+    # re-emitted in the official order with the headline LAST
+    lines = {}
+    for phase in ("pool", "1080p", "dynamic"):
+        t0 = time.perf_counter()
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", phase],
+            capture_output=True, text=True)
+        sys.stderr.write(r.stderr)
+        if r.returncode != 0:
+            sys.stderr.write(r.stdout)
+            raise SystemExit(f"bench phase {phase} failed ({r.returncode})")
+        for ln in r.stdout.splitlines():
+            ln = ln.strip()
+            if ln.startswith("{"):
+                d = json.loads(ln)
+                lines[d["metric"]] = d
+        print(f"# phase {phase}: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+    for metric in ("particle_steps_per_sec_1M_3d_dynamic",
+                   "particle_steps_per_sec_1M_3d",
+                   "particle_steps_per_sec_1M_3d_render_1080p",
+                   "particle_steps_per_sec_1M_3d_with_render"):
+        print(json.dumps(lines[metric]))
 
 
 if __name__ == "__main__":

@@ -142,7 +142,17 @@ class YWindow:
     def __init__(self, config: SimConfig, mode: str = "pallas",
                  substeps: int | None = None, quantum: int = 8,
                  donate: bool = True, sync_polls: bool = False,
-                 mesh=None, interpret: bool = False):
+                 mesh=None, interpret: bool = False,
+                 headroom: int | None = None):
+        # headroom: planes of slack kept above the last confirmed surface
+        # (None -> substeps + 5, the CFL-worst-case policy: the surface can
+        # rise at most 1 cell/substep, so a chunk can never outrun the
+        # window). Tighter values (>= 4: the 3-plane ceiling band + 1 legal
+        # row) trade that certainty for fewer slots — SAFE regardless,
+        # because the in-kernel band rejects-and-counts any mover that does
+        # reach it (zero loss; interference > 0 reported, and the window
+        # grows on the next confirmed hit). The official bench runs
+        # headroom=4 over its settled pool (certified: interference == 0).
         # sync_polls: consume every (maxy, ceiling) readback synchronously —
         # the growth decision then always sees a fresh surface height, so a
         # rise bounded by S cells/chunk can never touch the ceiling band
@@ -161,6 +171,10 @@ class YWindow:
         self.mesh = mesh
         self.interpret = interpret
         self.S = substeps if substeps is not None else config.substeps
+        self.headroom = headroom if headroom is not None else self.S + 5
+        if self.headroom < 4:
+            raise ValueError("headroom must cover the 3-plane ceiling band "
+                             "plus one legal row (>= 4)")
         self.q = quantum
         if mode == "pallas" or mesh is not None:
             # the fused kernels (and the sharded path, which uses them with
@@ -239,8 +253,9 @@ class YWindow:
     # ---- window policy ----
     def _target_wy(self, maxy: int) -> int:
         ny = self.true_config.grid_res[1]
-        # one chunk of CFL-bounded growth + 3 ceiling-band planes + slack
-        want = maxy + self.S + 5
+        # headroom planes over the confirmed surface (default: one chunk of
+        # CFL-bounded growth + the 3 ceiling-band planes + slack)
+        want = maxy + self.headroom
         wy = max(self.q, math.ceil(want / self.q) * self.q)
         return min(ny, wy)
 

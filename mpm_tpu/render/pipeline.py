@@ -150,34 +150,17 @@ def render_frame_buckets(
                               bg=(bg_color, bg_depth))
 
 
-def render_frame_cells(
-    cells: jax.Array,  # [4, M] (px, py, depth, |vel|) splat points
-    view: jax.Array,
-    rc: RenderConfig,
-    cubemap_faces: jax.Array | None = None,
-    bg: tuple[jax.Array, jax.Array] | None = None,
-) -> jax.Array:
-    """The SSFR chain from extracted splat points on: used by
-    render_frame_buckets and by frame loops that receive the splats straight
-    from the simulation step (ops/pallas/fused.substep_fused_emit — the
-    reference's in-g2p render-texture write, g2p.glsl:149-150)."""
-    from .splat import splat_cells
+def _needs_velocity(rc: RenderConfig) -> bool:
+    # the DEFAULT/depth chains are depth-only: skip the velocity-key
+    # scatter-min and the velocity dilation tracking (~1 ms at 640x360)
+    return rc.mode in (RENDER_VELOCITY_SPHERES, RENDER_LIT_SPHERES)
 
+
+def _frame_from_bufs(bufs, view, rc: RenderConfig, bg_color, bg_depth,
+                     cubemap_faces=None) -> jax.Array:
+    """The mode chain from SplatBuffers on (shared by the cell, zbuffer,
+    and distributed-composite entry points)."""
     cam = rc.camera
-    bg_color, bg_depth = (
-        bg if bg is not None else render_background(cam, view, rc.background)
-    )
-    bufs = splat_cells(
-        cells,
-        cam,
-        sphere_radius=rc.ssfr.particle_sphere_radius,
-        max_radius_px=rc.max_radius_px,
-        with_normals=rc.mode == RENDER_LIT_SPHERES,
-        # the DEFAULT/depth chains are depth-only: skip the velocity-key
-        # scatter-min and the velocity dilation tracking (~1 ms at 640x360)
-        with_velocity=rc.mode in (RENDER_VELOCITY_SPHERES, RENDER_LIT_SPHERES),
-    )
-
     if rc.mode == RENDER_LIT_SPHERES:
         return lit_spheres_shade(
             bufs, bg_color, bg_depth, view[:3, :3], rc.ssfr, cam
@@ -201,6 +184,65 @@ def render_frame_cells(
         depth, bg_color, bg_depth, sampler, view[:3, :3], rc.ssfr, cam
     )
     return color
+
+
+def render_frame_cells(
+    cells: jax.Array,  # [4, M] (px, py, depth, |vel|) splat points
+    view: jax.Array,
+    rc: RenderConfig,
+    cubemap_faces: jax.Array | None = None,
+    bg: tuple[jax.Array, jax.Array] | None = None,
+) -> jax.Array:
+    """The SSFR chain from extracted splat points on: used by
+    render_frame_buckets and by frame loops that receive the splats straight
+    from the simulation step (ops/pallas/fused.substep_fused_emit — the
+    reference's in-g2p render-texture write, g2p.glsl:149-150)."""
+    from .splat import splat_cells
+
+    cam = rc.camera
+    bg_color, bg_depth = (
+        bg if bg is not None else render_background(cam, view, rc.background)
+    )
+    bufs = splat_cells(
+        cells,
+        cam,
+        sphere_radius=rc.ssfr.particle_sphere_radius,
+        max_radius_px=rc.max_radius_px,
+        with_normals=rc.mode == RENDER_LIT_SPHERES,
+        with_velocity=_needs_velocity(rc),
+    )
+    return _frame_from_bufs(bufs, view, rc, bg_color, bg_depth,
+                            cubemap_faces=cubemap_faces)
+
+
+def render_frame_from_zbuffer(
+    d: jax.Array,  # [H, W] raw z-buffer depth (pre-dilation)
+    key,  # [H, W] int32 velocity key or None
+    view: jax.Array,
+    rc: RenderConfig,
+    cubemap_faces: jax.Array | None = None,
+    bg: tuple[jax.Array, jax.Array] | None = None,
+) -> jax.Array:
+    """The SSFR chain from a (possibly mesh-composited) raw z-buffer on —
+    the distributed render path (parallel/render.py) pmin-composites the
+    per-shard z-buffers and finishes the frame here."""
+    from .splat import buffers_from_zbuffer
+
+    cam = rc.camera
+    bg_color, bg_depth = (
+        bg if bg is not None else render_background(cam, view, rc.background)
+    )
+    if rc.mode == RENDER_NONE:
+        return bg_color
+    bufs = buffers_from_zbuffer(
+        d, key, cam,
+        sphere_radius=rc.ssfr.particle_sphere_radius,
+        max_radius_px=rc.max_radius_px,
+        with_normals=rc.mode == RENDER_LIT_SPHERES,
+        with_velocity=_needs_velocity(rc),
+    )
+    return _frame_from_bufs(bufs, view, rc, bg_color, bg_depth,
+                            cubemap_faces=cubemap_faces)
 
 
 def emitting_frame_fn(config, cam: Camera, substeps: int,

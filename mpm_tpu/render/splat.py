@@ -151,6 +151,79 @@ def _dilate_spheres(
     return SplatBuffers(depth=best_d, velocity=best_v, sx=best_sx, sy=best_sy)
 
 
+def zbuffer_cells(
+    cells: jax.Array,  # [4, M] (px, py, depth, |vel|) splat points
+    cam: Camera,
+    with_velocity: bool = True,
+):
+    """The pre-dilation z-buffer: scatter-min depth [H, W] (BG_DEPTH where
+    empty) and, with velocity, the packed attribution key [H, W] int32.
+
+    Exposed separately from splat_cells because BOTH are pure mins — the
+    distributed render composite (parallel/render.py) runs this per shard
+    on the shard's own cells, then `pmin`s the buffers across the mesh:
+    min over disjoint cell subsets == the global min, bit-exactly, so the
+    sharded composite needs no merge protocol (the same property that makes
+    the sim's overflow rejection merge-free). Dilation + SSFR then run once
+    on the composited buffers."""
+    from .extract_kernel import CELL_BG
+
+    h, w = cam.height, cam.width
+    px, py, depth, vel = cells[0], cells[1], cells[2], cells[3]
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    on = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (depth < CELL_BG)
+    pix = jnp.where(on, iy * w + ix, h * w)  # offscreen -> guard slot
+
+    d_img = (
+        jnp.full((h * w + 1,), BG_DEPTH, depth.dtype)
+        .at[pix]
+        .min(jnp.where(on, depth, BG_DEPTH))
+    )
+    d = d_img[: h * w].reshape(h, w)
+    if not with_velocity:
+        return d, None
+    # positive-float bit patterns sort like their values: the top 20
+    # bits of the depth dominate the key, the low 12 carry quantized
+    # velocity. The DEFAULT SSFR chain never reads the velocity buffer
+    # (blur/shade are depth-only), so this second scatter-min only runs
+    # for the velocity_spheres / lit_spheres modes (~1 ms at 640x360,
+    # scripts/render_attrib.py).
+    dbits = jax.lax.bitcast_convert_type(
+        jnp.maximum(depth, 1e-6), jnp.int32
+    ) & ~jnp.int32(0xFFF)
+    qvel = jnp.clip(vel * 64.0, 0.0, 4095.0).astype(jnp.int32)
+    key = jnp.where(on, dbits | qvel, jnp.int32(0x7F7FFFFF))
+    k_img = (
+        jnp.full((h * w + 1,), jnp.int32(0x7F7FFFFF)).at[pix].min(key)
+    )
+    return d, k_img[: h * w].reshape(h, w)
+
+
+def buffers_from_zbuffer(
+    d: jax.Array,  # [H, W] raw z-buffer depth (BG_DEPTH empties)
+    key,  # [H, W] int32 packed velocity key, or None
+    cam: Camera,
+    sphere_radius: float = 1.0,
+    max_radius_px: int = 6,
+    with_normals: bool = False,
+    with_velocity: bool = True,
+) -> SplatBuffers:
+    """Decode the velocity key and run the sphere-impostor dilation —
+    the second half of splat_cells, shared with the distributed composite."""
+    occ = d < BG_DEPTH
+    if with_velocity and key is not None:
+        v = jnp.where(
+            occ, (key & 0xFFF).astype(d.dtype) / 64.0, 0.0
+        )
+    else:
+        v = jnp.zeros_like(d)
+    bufs = SplatBuffers(depth=jnp.where(occ, d, BG_DEPTH), velocity=v)
+    return _dilate_spheres(bufs, cam, sphere_radius, max_radius_px,
+                           with_normals=with_normals,
+                           with_velocity=with_velocity)
+
+
 def splat_cells(
     cells: jax.Array,  # [4, C] from extract_kernel.extract_cell_splats
     cam: Camera,
@@ -169,48 +242,10 @@ def splat_cells(
     the exact depth winner within ~2^-11 relative depth, which is
     invisible in the velocity coloring (depth_map.gdshader:87 divides by
     10 for display)."""
-    from .extract_kernel import CELL_BG
-
-    h, w = cam.height, cam.width
-    px, py, depth, vel = cells[0], cells[1], cells[2], cells[3]
-    ix = jnp.floor(px).astype(jnp.int32)
-    iy = jnp.floor(py).astype(jnp.int32)
-    on = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (depth < CELL_BG)
-    pix = jnp.where(on, iy * w + ix, h * w)  # offscreen -> guard slot
-
-    d_img = (
-        jnp.full((h * w + 1,), BG_DEPTH, depth.dtype)
-        .at[pix]
-        .min(jnp.where(on, depth, BG_DEPTH))
-    )
-    d = d_img[: h * w].reshape(h, w)
-    occ = d < BG_DEPTH
-    if with_velocity:
-        # positive-float bit patterns sort like their values: the top 20
-        # bits of the depth dominate the key, the low 12 carry quantized
-        # velocity. The DEFAULT SSFR chain never reads the velocity buffer
-        # (blur/shade are depth-only), so this second scatter-min only runs
-        # for the velocity_spheres / lit_spheres modes (~1 ms at 640x360,
-        # scripts/render_attrib.py).
-        dbits = jax.lax.bitcast_convert_type(
-            jnp.maximum(depth, 1e-6), jnp.int32
-        ) & ~jnp.int32(0xFFF)
-        qvel = jnp.clip(vel * 64.0, 0.0, 4095.0).astype(jnp.int32)
-        key = jnp.where(on, dbits | qvel, jnp.int32(0x7F7FFFFF))
-        k_img = (
-            jnp.full((h * w + 1,), jnp.int32(0x7F7FFFFF)).at[pix].min(key)
-        )
-        v = jnp.where(
-            occ,
-            (k_img[: h * w].reshape(h, w) & 0xFFF).astype(depth.dtype) / 64.0,
-            0.0,
-        )
-    else:
-        v = jnp.zeros((h, w), depth.dtype)
-    bufs = SplatBuffers(depth=jnp.where(occ, d, BG_DEPTH), velocity=v)
-    return _dilate_spheres(bufs, cam, sphere_radius, max_radius_px,
-                           with_normals=with_normals,
-                           with_velocity=with_velocity)
+    d, key = zbuffer_cells(cells, cam, with_velocity=with_velocity)
+    return buffers_from_zbuffer(d, key, cam, sphere_radius, max_radius_px,
+                                with_normals=with_normals,
+                                with_velocity=with_velocity)
 
 
 def splat_particles(

@@ -43,6 +43,12 @@ def main():
              if os.environ.get(f)}
     if os.environ.get("MPM_DT0", "0") == "1":  # static fluid: isolates the
         fluid = fluid.replace(dt=0.0)          # no-churn select cost
+    if os.environ.get("MPM_WINDOW_WY"):  # air-window at a FIXED wy (no
+        # dynamic driver): measures the array-shrink effect in isolation
+        from mpm_tpu.ops.window import window_config
+
+        config = window_config(config, int(os.environ["MPM_WINDOW_WY"]))
+        flags["MPM_WINDOW_WY"] = os.environ["MPM_WINDOW_WY"]
     print(f"# {n} particles, grid {config.grid_res}, K={k}, flags {flags}")
     state = jax.jit(lambda s: bucketed.from_simstate(s, config))(
         jax.device_put(scene.state))

@@ -187,9 +187,11 @@ def _rmw_comb8_kernel(x_ref, o_ref, gm, *, reps):
         o_ref[:] = gm[:, H : H + PC]
 
 
-def _select_kernel(x_ref, o_ref, sc, *, fields, kslots):
+def _select_kernel(x_ref, o_ref, sc, *, fields, kslots, cand_dtype=None):
     """Per plane: the _gated_select inner pattern — 3 candidate classes x K
-    rows, `fields` field rows, `kslots` output slots."""
+    rows, `fields` field rows, `kslots` output slots. `cand_dtype` carries
+    the field rows in a narrower type (bf16: does the platform's per-byte
+    VPU service rate apply to 16-bit rows?)."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -198,13 +200,24 @@ def _select_kernel(x_ref, o_ref, sc, *, fields, kslots):
 
     cand = sc[:]  # [K, pc] stand-in for one candidate class
     rank = (cand * 8.0).astype(jnp.int32)  # fake ranks, data-dependent
+    if cand_dtype is not None:
+        cand16 = cand.astype(cand_dtype)
     out = None
     for kk in range(kslots):
         for f in range(fields):
             acc = None
             for ci in range(3):  # 3 candidate classes
-                s = jnp.sum(jnp.where(rank == kk, cand + np.float32(f), 0.0),
-                            axis=0)
+                if cand_dtype is not None:
+                    s = jnp.sum(
+                        jnp.where(rank == kk,
+                                  cand16 + jnp.asarray(f, cand_dtype),
+                                  jnp.asarray(0.0, cand_dtype)),
+                        axis=0)
+                    s = s.astype(jnp.float32)
+                else:
+                    s = jnp.sum(
+                        jnp.where(rank == kk, cand + np.float32(f), 0.0),
+                        axis=0)
                 acc = s if acc is None else acc + s
             out = acc if out is None else out + acc
     sc[0] = out  # keep it live
@@ -300,10 +313,19 @@ def run(which: str):
         # 9 tap rows x 8 planes x reps per step, NX/8 steps — identical
         # logical traffic to `rmw`
         ops = 9 * reps * PC * NX
-    elif which == "select":
+    elif which.startswith("select"):
+        # select     : 17 f32 field rows (the production pattern)
+        # select11   : 11 f32 rows (pos3+mass+ids + vel/C packed in 6)
+        # select_bf16: 17 bf16 rows (does per-byte rate apply to 16-bit?)
         fields, kslots = 17, 8
+        cand_dtype = None
+        if which == "select11":
+            fields = 11
+        elif which == "select_bf16":
+            cand_dtype = jnp.bfloat16
         f = pl.pallas_call(
-            functools.partial(_select_kernel, fields=fields, kslots=kslots),
+            functools.partial(_select_kernel, fields=fields, kslots=kslots,
+                              cand_dtype=cand_dtype),
             grid=(NX,),
             in_specs=[pl.BlockSpec((K, PC), lambda t: (0, 0),
                                    memory_space=pltpu.VMEM)],
