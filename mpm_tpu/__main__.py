@@ -379,7 +379,9 @@ def cmd_render(args):
     rc = RenderConfig(
         camera=cam,
         mode=args.render_mode,
-        ssfr=SSFRParams(particle_sphere_radius=args.sphere_radius),
+        ssfr=SSFRParams(particle_sphere_radius=args.sphere_radius,
+                        thickness_pass=args.thickness_pass,
+                        thickness_scale=args.thickness_scale),
         sphere_render_ratio=args.sphere_render_ratio,
         quality=args.render_quality,
         max_radius_px=args.max_radius_px,
@@ -639,6 +641,15 @@ def main(argv=None):
         "multi_mesh/billboard_sphere.gdshader)",
     )
     p_r.add_argument("--sphere-render-ratio", type=float, default=1.0)
+    p_r.add_argument(
+        "--thickness-pass",
+        action="store_true",
+        help="real SSFR thickness pass: additive per-pixel material "
+        "thickness feeds Beer's law + the refraction offset (the pass the "
+        "reference skipped, screen_space_fluid_rendering.gd:429 — default "
+        "keeps its constant-thickness uniform, exact parity)",
+    )
+    p_r.add_argument("--thickness-scale", type=float, default=0.35)
     p_r.add_argument(
         "--cubemap",
         default=None,

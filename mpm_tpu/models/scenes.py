@@ -415,3 +415,5 @@ def benchmark_dam_break(n_target: int = 1_000_000) -> Scene:
 
 
 SCENES["bench3d_dam"] = benchmark_dam_break
+SCENES["bench3d"] = benchmark_scene
+SCENES["bench2d"] = benchmark_scene_2d

@@ -37,6 +37,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.params import FluidParams, SimConfig
 from ..render.pipeline import (
+    RENDER_DEFAULT,
     RenderConfig,
     _needs_velocity,
     frame_to_u8,
@@ -82,6 +83,7 @@ def make_sharded_frame_step(
     pspecs = _bucket_pspecs(axis)
     cam = rc.camera
     with_vel = _needs_velocity(rc)
+    with_thick = rc.ssfr.thickness_pass and rc.mode == RENDER_DEFAULT
 
     def substep_local(state, fp, interactions, rscals=None):
         ax = jax.lax.axis_index(axis)
@@ -140,12 +142,20 @@ def make_sharded_frame_step(
         # distributed z-test (step 3 of the module docstring)
         d, key = zbuffer_cells(splats, cam, with_velocity=with_vel)
         d = jax.lax.pmin(d, axis)
+        outs = (state, d)
         if key is not None:
-            key = jax.lax.pmin(key, axis)
-            return state, d, key
-        return state, d
+            outs = outs + (jax.lax.pmin(key, axis),)
+        if with_thick:
+            # the thickness pass is ADDITIVE, so its mesh composite is the
+            # psum of the per-shard deposits (render/splat.thickness_deposit)
+            from ..render.splat import thickness_deposit
 
-    out_specs = (pspecs, P(), P()) if with_vel else (pspecs, P())
+            tdep = thickness_deposit(
+                splats, cam, sphere_radius=rc.ssfr.particle_sphere_radius)
+            outs = outs + (jax.lax.psum(tdep, axis),)
+        return outs
+
+    out_specs = (pspecs, P()) + (P(),) * (int(with_vel) + int(with_thick))
 
     def frame(state, fp, interactions, view, bg):
         rscals = render_scals_for(view, cam)
@@ -158,9 +168,12 @@ def make_sharded_frame_step(
             check_vma=False,
         )(state, fp, interactions, rscals)
         state, d = outs[0], outs[1]
-        key = outs[2] if with_vel else None
+        rest = list(outs[2:])
+        key = rest.pop(0) if with_vel else None
+        tdep = rest.pop(0) if with_thick else None
         img = render_frame_from_zbuffer(
-            d, key, view, rc, cubemap_faces=cubemap_faces, bg=bg
+            d, key, view, rc, cubemap_faces=cubemap_faces, bg=bg,
+            thickness_deposits=tdep,
         )
         return state, frame_to_u8(img)
 

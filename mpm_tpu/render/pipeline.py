@@ -157,9 +157,13 @@ def _needs_velocity(rc: RenderConfig) -> bool:
 
 
 def _frame_from_bufs(bufs, view, rc: RenderConfig, bg_color, bg_depth,
-                     cubemap_faces=None) -> jax.Array:
+                     cubemap_faces=None, thickness_deposits=None) -> jax.Array:
     """The mode chain from SplatBuffers on (shared by the cell, zbuffer,
-    and distributed-composite entry points)."""
+    and distributed-composite entry points). `thickness_deposits`: raw
+    additive thickness buffer (splat.thickness_deposit) when the thickness
+    pass is on; None shades with the reference's constant uniform."""
+    from .ssfr import thickness_map
+
     cam = rc.camera
     if rc.mode == RENDER_LIT_SPHERES:
         return lit_spheres_shade(
@@ -180,8 +184,11 @@ def _frame_from_bufs(bufs, view, rc: RenderConfig, bg_color, bg_depth,
     if rc.mode == RENDER_DEPTH_DEBUG or rc.ssfr.debug_draw_depth:
         return depth_debug_image(depth, rc.ssfr)
     sampler = make_cubemap_sampler(cubemap_faces)
+    tmap = (thickness_map(thickness_deposits, rc.ssfr)
+            if thickness_deposits is not None else None)
     color, _live = shade(
-        depth, bg_color, bg_depth, sampler, view[:3, :3], rc.ssfr, cam
+        depth, bg_color, bg_depth, sampler, view[:3, :3], rc.ssfr, cam,
+        thickness=tmap,
     )
     return color
 
@@ -211,8 +218,15 @@ def render_frame_cells(
         with_normals=rc.mode == RENDER_LIT_SPHERES,
         with_velocity=_needs_velocity(rc),
     )
+    tdep = None
+    if rc.ssfr.thickness_pass and rc.mode == RENDER_DEFAULT:
+        from .splat import thickness_deposit
+
+        tdep = thickness_deposit(
+            cells, cam, sphere_radius=rc.ssfr.particle_sphere_radius)
     return _frame_from_bufs(bufs, view, rc, bg_color, bg_depth,
-                            cubemap_faces=cubemap_faces)
+                            cubemap_faces=cubemap_faces,
+                            thickness_deposits=tdep)
 
 
 def render_frame_from_zbuffer(
@@ -222,6 +236,9 @@ def render_frame_from_zbuffer(
     rc: RenderConfig,
     cubemap_faces: jax.Array | None = None,
     bg: tuple[jax.Array, jax.Array] | None = None,
+    thickness_deposits: jax.Array | None = None,  # [H, W] raw additive
+    # thickness buffer (psum-composited across the mesh on the distributed
+    # path); None = constant-thickness shading
 ) -> jax.Array:
     """The SSFR chain from a (possibly mesh-composited) raw z-buffer on —
     the distributed render path (parallel/render.py) pmin-composites the
@@ -242,7 +259,8 @@ def render_frame_from_zbuffer(
         with_velocity=_needs_velocity(rc),
     )
     return _frame_from_bufs(bufs, view, rc, bg_color, bg_depth,
-                            cubemap_faces=cubemap_faces)
+                            cubemap_faces=cubemap_faces,
+                            thickness_deposits=thickness_deposits)
 
 
 def emitting_frame_fn(config, cam: Camera, substeps: int,

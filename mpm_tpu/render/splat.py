@@ -248,6 +248,41 @@ def splat_cells(
                                 with_velocity=with_velocity)
 
 
+def thickness_deposit(
+    cells: jax.Array,  # [4, M] (px, py, depth, |vel|) splat points
+    cam: Camera,
+    sphere_radius: float = 1.0,
+) -> jax.Array:
+    """ADDITIVE thickness splat [H, W]: every live splat deposits its
+    material thickness (2r, the chord through a sphere's center) at its
+    center pixel; occluded splats deposit too, so a pixel's total is the
+    material column behind it in world units. A small normalized blur
+    (ssfr.gaussian_blur) then spreads each deposit over its disc footprint.
+
+    This is the SSFR-canonical thickness pass the reference SKIPPED
+    ("Step 2: get fluid depth (didn't have time for that)",
+    screen_space_fluid_rendering.gd:429) — it shades with a constant
+    `thickness` uniform instead (fluid_render_fixed_depth.glsl:142-146).
+    Default SSFRParams keep the constant (reference-exact);
+    thickness_pass=True feeds this buffer into Beer's law + the refraction
+    offset. Addition commutes, so the distributed composite is a `psum`
+    of per-shard deposits (parallel/render.py), mirroring the depth pmin."""
+    from .extract_kernel import CELL_BG
+
+    h, w = cam.height, cam.width
+    px, py, depth = cells[0], cells[1], cells[2]
+    ix = jnp.floor(px).astype(jnp.int32)
+    iy = jnp.floor(py).astype(jnp.int32)
+    on = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (depth < CELL_BG)
+    pix = jnp.where(on, iy * w + ix, h * w)  # offscreen -> guard slot
+    t_img = (
+        jnp.zeros((h * w + 1,), jnp.float32)
+        .at[pix]
+        .add(jnp.where(on, 2.0 * sphere_radius, 0.0))
+    )
+    return t_img[: h * w].reshape(h, w)
+
+
 def splat_particles(
     pos: jax.Array,  # [3, N] world positions (lane-major)
     vel_mag: jax.Array,  # [N] velocity magnitudes
