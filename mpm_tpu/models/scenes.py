@@ -216,8 +216,16 @@ def benchmark_scene(
         wall_max_offset=3.0,
         wall_stiffness=1.0,
         bin_capacity=bin_capacity,
-        # bf16 vel/C storage measured perf-NEUTRAL here (the substep is
-        # VPU-compute-bound at this scale, not DMA-bound) — keep f32
+        # bf16 vel/C storage: round 3 measured it perf-NEUTRAL because the
+        # kernels still carried f32 select rows; round 4's PACKED migration
+        # (fused.py: vel+C as 6 bf16-pair int32 rows through the selects,
+        # 17 -> 11 field rows) makes it a measured -15% (7.2 -> 6.1
+        # ms/substep at 1M, wy=48). Positions stay f32; rounding happens
+        # once per substep at the same point as the XLA engine's
+        # round-at-store (bit-compatible, tests/test_fused.py) — the
+        # TPU-native analogue of the reference quantizing its grid to
+        # int32 1e-7 steps (MLSMPM3DFluidMultithreadGPU.cs:98).
+        storage_dtype="bfloat16",
         eos_power_static=7.0,
     )
     # dt 0.05: the stiffer EOS raises the sound speed ~sqrt(k*gamma/rho0)
@@ -379,6 +387,7 @@ def benchmark_dam_break(n_target: int = 1_000_000) -> Scene:
         wall_max_offset=3.0,
         wall_stiffness=1.0,
         bin_capacity=8,
+        storage_dtype="bfloat16",  # packed-migration path (benchmark_scene)
         eos_power_static=7.0,
     )
     fluid = FluidParams.create(

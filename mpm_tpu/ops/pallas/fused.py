@@ -151,6 +151,57 @@ def _reject_intra(refs, occ_all, delta_all, axis: int, z: int, hm: int,
     return jnp.sum(rej.astype(jnp.int32)), n_ceil
 
 
+# ---------------------------------------------------------- packed migration
+#
+# With bf16 vel/C storage, the 12 vel+C field rows ride the migration
+# selects and staging as SIX int32 rows of bf16 PAIRS — the field-row count
+# of the O(K_out x 3K x rows) select machinery drops 17 -> 11. Measured
+# basis (scripts/vpu_roofline.py, round 4): 16-bit rows cost exactly what
+# f32 rows cost (select_bf16 == select), so dtype narrowing buys nothing —
+# but row-count reduction does, sub-linearly (select11 = -19% time for
+# -35% rows). Value-exactness: migration only PERMUTES values, so
+# pack-after-tail == round-at-HBM-write (the unpacked bf16 path's
+# semantics) — the XLA bucketed engine rounds at the same point.
+#
+# bf16 bit patterns are the TOP 16 bits of their f32 widening, so the
+# pack/unpack is pure int32/f32 bit arithmetic — no 16-bit vector types
+# for Mosaic to lower.
+
+
+def _pack_bf16_pair(a, b):
+    """[.., pc] f32 x2 -> int32 rows: bf16(a) in the high 16, bf16(b) low."""
+    pa = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+    pb = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16).astype(jnp.float32), jnp.int32)
+    # pa's low 16 bits are zero (bf16-rounded f32), so OR composes exactly
+    return pa | jax.lax.shift_right_logical(pb, 16)
+
+
+def _unpack_bf16_pair(p):
+    a = jax.lax.bitcast_convert_type(
+        jnp.bitwise_and(p, jnp.int32(-65536)), jnp.float32)  # 0xFFFF0000
+    b = jax.lax.bitcast_convert_type(
+        jax.lax.shift_left(p, jnp.int32(16)), jnp.float32)
+    return a, b
+
+
+def _pack_vc(vel, C9):
+    """[3, ..] + [9, ..] f32 -> [6, ..] int32 bf16-pair rows."""
+    rows = [vel[i] for i in range(3)] + [C9[i] for i in range(9)]
+    return jnp.stack(
+        [_pack_bf16_pair(rows[2 * i], rows[2 * i + 1]) for i in range(6)])
+
+
+def _unpack_vc(vc):
+    """[6, ..] int32 -> ([3, ..] f32, [9, ..] f32) (bf16 values widened)."""
+    rows = []
+    for i in range(6):
+        a, b = _unpack_bf16_pair(vc[i])
+        rows += [a, b]
+    return jnp.stack(rows[:3]), jnp.stack(rows[3:])
+
+
 # ------------------------------------------------------------------ kernel F
 
 
@@ -246,6 +297,9 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
        plane, so most spans skip (measured via scripts/mover_stats.py)."""
     stride = z if axis == 1 else 1
     pc = refs["mass"].shape[-1] - 2 * hm
+    names = tuple(refs)  # field schema: ("pos","vel","C","mass","ids") or
+    # the packed ("pos","vc","mass","ids") — the "vc" int32 rows take the
+    # float select formula (zero-fill; exactly one candidate matches)
     mass0 = refs["mass"][:]
     occ_all0, delta_all0 = _intra_occ_delta(
         refs["pos"][:], mass0, axis, z, hm, dtype
@@ -258,7 +312,7 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
         fields = [
             (name, (sh(src[name], 0), sh(src[name], -stride),
                     sh(src[name], stride)), name == "ids")
-            for name in ("pos", "vel", "C", "mass", "ids")
+            for name in names
         ]
         occ_c, occ_l, occ_r = (sh(occ_all, o) for o in (0, -stride, stride))
         d_c, d_l, d_r = (sh(delta_all, o) for o in (0, -stride, stride))
@@ -280,7 +334,7 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
         add_defer(n_rej)
         if ceil_row is not None:
             add_ceil(n_ceil)
-        src = {name: refs[name][:] for name in ("pos", "vel", "C", "mass", "ids")}
+        src = {name: refs[name][:] for name in names}
         occ_all, delta_all = _intra_occ_delta(
             src["pos"], src["mass"], axis, z, hm, dtype
         )
@@ -298,7 +352,7 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
 
     @pl.when(jnp.logical_not(any_mover))
     def _copy_through():
-        for name in ("pos", "vel", "C", "mass", "ids"):
+        for name in names:
             bulk_write(name, _shift_cols(refs[name][:], 0, hm), 0, pc)
 
     @pl.when(any_mover)
@@ -322,7 +376,7 @@ def _intra_phase(refs, dst_write, axis: int, z: int, hm: int, k: int, dtype,
 
             @pl.when(jnp.logical_not(span_any))
             def _(c0=c0):
-                for name in ("pos", "vel", "C", "mass", "ids"):
+                for name in names:
                     bulk_write(
                         name,
                         src[name][..., hm + c0 : hm + c0 + chunk],
@@ -346,9 +400,28 @@ def _fused_kernel(
         splat_o, *refs = refs
     else:
         splat_o = None
-    (tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
-     tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
-     r_pos, r_vel, r_C, r_mass, r_ids, scr_nmovr) = refs
+    packed = config.storage_dtype == "bfloat16"
+    if packed:
+        # vel+C ride the temps/ring/selects as 6 bf16-pair int32 rows
+        # (see "packed migration" above); tA_vel/tA_C etc. do not exist
+        (tA_pos, tA_vc, tA_mass, tA_ids,
+         tB_pos, tB_vc, tB_mass, tB_ids,
+         r_pos, r_vc, r_mass, r_ids, scr_nmovr) = refs
+        temps_A = {"pos": tA_pos, "vc": tA_vc, "mass": tA_mass,
+                   "ids": tA_ids}
+        temps_B = {"pos": tB_pos, "vc": tB_vc, "mass": tB_mass,
+                   "ids": tB_ids}
+        ring = {"pos": r_pos, "vc": r_vc, "mass": r_mass, "ids": r_ids}
+    else:
+        (tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
+         tB_pos, tB_vel, tB_C, tB_mass, tB_ids,
+         r_pos, r_vel, r_C, r_mass, r_ids, scr_nmovr) = refs
+        temps_A = {"pos": tA_pos, "vel": tA_vel, "C": tA_C, "mass": tA_mass,
+                   "ids": tA_ids}
+        temps_B = {"pos": tB_pos, "vel": tB_vel, "C": tB_C, "mass": tB_mass,
+                   "ids": tB_ids}
+        ring = {"pos": r_pos, "vel": r_vel, "C": r_C, "mass": r_mass,
+                "ids": r_ids}
     t = pl.program_id(0)
     L = pl.num_programs(0) - 1  # local planes swept (== nx when unsharded)
     nx = config.grid_res[0]     # GLOBAL plane count (bounds checks)
@@ -377,14 +450,10 @@ def _fused_kernel(
         # halo columns of the migration temps and the "plane -1" ring slot
         # are consumed (occupancy-masked) before ever being written — zero
         # them so uninitialized VMEM can't leak garbage into the selects
-        for ref in (tA_pos, tA_vel, tA_C, tA_mass, tA_ids,
-                    tB_pos, tB_vel, tB_C, tB_mass, tB_ids):
+        for ref in (*temps_A.values(), *temps_B.values()):
             ref[:] = jnp.zeros_like(ref)
-        r_pos[2] = jnp.zeros_like(r_pos[2])
-        r_vel[2] = jnp.zeros_like(r_vel[2])
-        r_C[2] = jnp.zeros_like(r_C[2])
-        r_mass[2] = jnp.zeros_like(r_mass[2])
-        r_ids[2] = jnp.zeros_like(r_ids[2])
+        for ref in ring.values():
+            ref[2] = jnp.zeros_like(ref[2])
         scr_nmovr[:] = jnp.zeros_like(scr_nmovr)
 
     occ_any = jnp.max(mass_ref[:]) > 0
@@ -533,13 +602,20 @@ def _fused_kernel(
         Cmat = jnp.where(occ3, Cmat, 0.0)
 
         # ---- 3. zy migration in VMEM ----
+        # the plane's staged fields: packed mode rounds vel/C to bf16 HERE
+        # (migration only permutes values, so pack-after-tail equals the
+        # unpacked path's round-at-HBM-write exactly)
+        if packed:
+            staged = {"pos": pos, "vc": _pack_vc(vel, Cmat),
+                      "mass": mass, "ids": ids_ref[:]}
+        else:
+            staged = {"pos": pos, "vel": vel, "C": Cmat,
+                      "mass": mass, "ids": ids_ref[:]}
+
         if _NOMIG:  # perf attribution: skip migration, ring passthrough
             rt0 = jax.lax.rem(t, 3)
-            r_pos[rt0] = pos
-            r_vel[rt0] = vel
-            r_C[rt0] = Cmat
-            r_mass[rt0] = mass
-            r_ids[rt0] = ids_ref[:]
+            for name, v in staged.items():
+                ring[name][rt0] = v
             return
 
         rt = jax.lax.rem(t, 3)
@@ -555,34 +631,26 @@ def _fused_kernel(
 
         @pl.when(jnp.logical_not(zy_any))
         def _zy_static():
-            r_pos[rt] = pos
-            r_vel[rt] = vel
-            r_C[rt] = Cmat
-            r_mass[rt] = mass
-            r_ids[rt] = ids_ref[:]
+            for name, v in staged.items():
+                ring[name][rt] = v
 
         @pl.when(zy_any)
         def _zy_full():
-            tA_pos[:, :, hm : hm + pc] = pos
-            tA_vel[:, :, hm : hm + pc] = vel
-            tA_C[:, :, hm : hm + pc] = Cmat
-            tA_mass[:, hm : hm + pc] = mass
-            tA_ids[:, hm : hm + pc] = ids_ref[:]
-
-            refsA = {"pos": tA_pos, "vel": tA_vel, "C": tA_C,
-                     "mass": tA_mass, "ids": tA_ids}
+            for name, v in staged.items():
+                if name in ("mass", "ids"):
+                    temps_A[name][:, hm : hm + pc] = v
+                else:
+                    temps_A[name][:, :, hm : hm + pc] = v
 
             def write_B(name, kk, v, lo, cw):
-                ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
-                       "mass": tB_mass, "ids": tB_ids}[name]
+                ref = temps_B[name]
                 if name in ("mass", "ids"):
                     ref[kk, hm + lo : hm + lo + cw] = v
                 else:
                     ref[:, kk, hm + lo : hm + lo + cw] = v
 
             def bulk_B(name, v, lo, cw):
-                ref = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
-                       "mass": tB_mass, "ids": tB_ids}[name]
+                ref = temps_B[name]
                 if name in ("mass", "ids"):
                     ref[:, hm + lo : hm + lo + cw] = v
                 else:
@@ -597,28 +665,24 @@ def _fused_kernel(
             def add_ceil(v):
                 ceil_ref[0, 0] += jnp.where(in_interior, v, 0)
 
-            _intra_phase(refsA, write_B, 2, z, hm, k, dtype, add_lost,
+            _intra_phase(temps_A, write_B, 2, z, hm, k, dtype, add_lost,
                          add_defer, bulk_write=bulk_B, chunk=_CHUNK)
 
             def write_ring(name, kk, v, lo, cw):
-                ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
-                       "mass": r_mass, "ids": r_ids}[name]
+                ref = ring[name]
                 if name in ("mass", "ids"):
                     ref[rt, kk, lo : lo + cw] = v
                 else:
                     ref[rt, :, kk, lo : lo + cw] = v
 
             def bulk_ring(name, v, lo, cw):
-                ref = {"pos": r_pos, "vel": r_vel, "C": r_C,
-                       "mass": r_mass, "ids": r_ids}[name]
+                ref = ring[name]
                 if name in ("mass", "ids"):
                     ref[rt, :, lo : lo + cw] = v
                 else:
                     ref[rt, :, :, lo : lo + cw] = v
 
-            refsB = {"pos": tB_pos, "vel": tB_vel, "C": tB_C,
-                     "mass": tB_mass, "ids": tB_ids}
-            _intra_phase(refsB, write_ring, 1, z, hm, k, dtype, add_lost,
+            _intra_phase(temps_B, write_ring, 1, z, hm, k, dtype, add_lost,
                          add_defer, bulk_write=bulk_ring, chunk=_CHUNK,
                          ceil_row=ceil_row, add_ceil=add_ceil)
 
@@ -636,11 +700,19 @@ def _fused_kernel(
     def _output():
         # ---- 4. x migration for plane j = t-1 from the ring ----
         j = t - 1
+
+        def write_velC(v3, v9, lo=0, cw=None):
+            cw = pc if cw is None else cw
+            vel_o[:, :, lo : lo + cw] = v3.astype(vel_o.dtype)
+            C_o[:, :, lo : lo + cw] = v9.astype(C_o.dtype)
+
         if _NOMIG:  # perf attribution: copy plane j through unmigrated
             rcc = jax.lax.rem(t + 2, 3)
             pos_o[:] = r_pos[rcc]
-            vel_o[:] = r_vel[rcc].astype(vel_o.dtype)
-            C_o[:] = r_C[rcc].astype(C_o.dtype)
+            if packed:
+                write_velC(*_unpack_vc(r_vc[rcc]))
+            else:
+                write_velC(r_vel[rcc], r_C[rcc])
             mass_o[:] = r_mass[rcc]
             ids_o[:] = r_ids[rcc]
             return
@@ -663,6 +735,12 @@ def _fused_kernel(
         occ_r, d_r = occ_delta(pos_r, r_mass[rr], gj + 1.0)
 
         def write_out(name, kk, v, lo, cw):
+            if name == "vc":  # unpack at the HBM write (outputs stay the
+                # plain [3]/[9]-row bf16 layout; kernel P is untouched)
+                v3, v9 = _unpack_vc(v)
+                vel_o[:, kk, lo : lo + cw] = v3.astype(vel_o.dtype)
+                C_o[:, kk, lo : lo + cw] = v9.astype(C_o.dtype)
+                return
             ref = {"pos": pos_o, "vel": vel_o, "C": C_o,
                    "mass": mass_o, "ids": ids_o}[name]
             if name in ("mass", "ids"):
@@ -670,13 +748,36 @@ def _fused_kernel(
             else:
                 ref[:, kk, lo : lo + cw] = v.astype(ref.dtype)  # bf16 ok
 
+        if packed:
+            vc_fields = [("vc", (r_vc[rc], r_vc[rl], r_vc[rr]), False)]
+        else:
+            vc_fields = [
+                ("vel", (r_vel[rc], r_vel[rl], r_vel[rr]), False),
+                ("C", (r_C[rc], r_C[rl], r_C[rr]), False),
+            ]
         fields = [
             ("pos", (pos_c, pos_l, pos_r), False),
-            ("vel", (r_vel[rc], r_vel[rl], r_vel[rr]), False),
-            ("C", (r_C[rc], r_C[rl], r_C[rr]), False),
+            *vc_fields,
             ("mass", (r_mass[rc], r_mass[rl], r_mass[rr]), False),
             ("ids", (r_ids[rc], r_ids[rl], r_ids[rr]), True),
         ]
+
+        def passthrough(pos_vals, c0, cw):
+            """Plane j passes through unchanged on a span (occ-masked; dead
+            slots hold stale zy-select scratch and must write the select
+            path's zeros/sentinel)."""
+            s_ = lambda x: x[..., c0 : c0 + cw]
+            occk = s_(occ_c)[None]
+            pos_o[:, :, c0 : c0 + cw] = jnp.where(occk, s_(pos_vals), 0.0)
+            if packed:
+                write_velC(*_unpack_vc(jnp.where(occk, s_(r_vc[rc]), 0)),
+                           lo=c0, cw=cw)
+            else:
+                write_velC(jnp.where(occk, s_(r_vel[rc]), 0.0),
+                           jnp.where(occk, s_(r_C[rc]), 0.0), lo=c0, cw=cw)
+            mass_o[:, c0 : c0 + cw] = s_(r_mass[rc])
+            ids_o[:, c0 : c0 + cw] = jnp.where(
+                s_(occ_c), s_(r_ids[rc]), _INT_SENTINEL)
 
         # zero-mover fast path: no particle crosses an x boundary in the
         # three ring planes -> plane j passes through unchanged (see
@@ -687,15 +788,7 @@ def _fused_kernel(
 
         @pl.when(jnp.logical_not(any_mover))
         def _copy_through():
-            # dead slots in the ring hold stale scratch (the zy selects only
-            # zero the mass rows); the HBM outputs must be fully defined and
-            # match the select path's zeros/sentinel
-            occk = occ_c[None]
-            pos_o[:] = jnp.where(occk, pos_c, 0.0)
-            vel_o[:] = jnp.where(occk, r_vel[rc], 0.0).astype(vel_o.dtype)
-            C_o[:] = jnp.where(occk, r_C[rc], 0.0).astype(C_o.dtype)
-            mass_o[:] = r_mass[rc]
-            ids_o[:] = jnp.where(occ_c, r_ids[rc], _INT_SENTINEL)
+            passthrough(pos_c, 0, pc)
 
         @pl.when(any_mover)
         def _full_select():
@@ -749,12 +842,7 @@ def _fused_kernel(
                 d_c2, d_l2, d_r2, occ_c, occ_l, occ_r
             )
             if _NOSEL:  # attribution: skip the x select, copy plane through
-                occk = occ_c[None]
-                pos_o[:] = jnp.where(occk, pos_c2, 0.0)
-                vel_o[:] = jnp.where(occk, r_vel[rc], 0.0).astype(vel_o.dtype)
-                C_o[:] = jnp.where(occk, r_C[rc], 0.0).astype(C_o.dtype)
-                mass_o[:] = r_mass[rc]
-                ids_o[:] = jnp.where(occ_c, r_ids[rc], _INT_SENTINEL)
+                passthrough(pos_c2, 0, pc)
                 return
             if not (_GATE and _CHUNK and pc % _CHUNK == 0 and pc > _CHUNK):
                 lost_x = _gated_select(
@@ -797,21 +885,7 @@ def _fused_kernel(
 
                 @pl.when(jnp.logical_not(span_any))
                 def _(c0=c0):
-                    sl = lambda x: x[..., c0 : c0 + _CHUNK]
-                    occk = sl(occ_c)[None]
-                    pos_o[:, :, c0 : c0 + _CHUNK] = jnp.where(
-                        occk, sl(pos_c2), 0.0
-                    )
-                    vel_o[:, :, c0 : c0 + _CHUNK] = jnp.where(
-                        occk, sl(r_vel[rc]), 0.0
-                    ).astype(vel_o.dtype)
-                    C_o[:, :, c0 : c0 + _CHUNK] = jnp.where(
-                        occk, sl(r_C[rc]), 0.0
-                    ).astype(C_o.dtype)
-                    mass_o[:, c0 : c0 + _CHUNK] = sl(r_mass[rc])
-                    ids_o[:, c0 : c0 + _CHUNK] = jnp.where(
-                        sl(occ_c), sl(r_ids[rc]), _INT_SENTINEL
-                    )
+                    passthrough(pos_c2, c0, _CHUNK)
 
     if emit_splats:
         # ---- 5. per-cell splat extraction for plane j, IN-KERNEL ----
@@ -865,8 +939,12 @@ def _vmem_bytes(config: SimConfig, k: int) -> int:
     pc = config.grid_res[1] * z
     pcp_m = pc + 2 * _mig_halo(z)
     pcp_g = pc + 2 * _halo(config)
-    temps = 2 * 17 * k * pcp_m * 4
-    ring = 3 * 17 * k * pc * 4
+    # packed migration (bf16 storage): vel+C ride temps/ring as 6 int32
+    # rows instead of 12 f32 rows — the select row count AND the VMEM
+    # working set shrink (17 -> 11 rows)
+    rows = 11 if config.storage_dtype == "bfloat16" else 17
+    temps = 2 * rows * k * pcp_m * 4
+    ring = 3 * rows * k * pc * 4
     blocks = 2 * (5 + 17) * k * pc * 4  # double-buffered in+out plane blocks
     gvel = 2 * 3 * 3 * pcp_g * 4
     return temps + ring + blocks + gvel
@@ -987,24 +1065,42 @@ def _g2p_migrate_fused(
         ],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[
-            pltpu.VMEM((3, k, pc + 2 * hm), dtype),
-            pltpu.VMEM((3, k, pc + 2 * hm), dtype),
-            pltpu.VMEM((9, k, pc + 2 * hm), dtype),
-            pltpu.VMEM((k, pc + 2 * hm), dtype),
-            pltpu.VMEM((k, pc + 2 * hm), jnp.int32),
-            pltpu.VMEM((3, k, pc + 2 * hm), dtype),
-            pltpu.VMEM((3, k, pc + 2 * hm), dtype),
-            pltpu.VMEM((9, k, pc + 2 * hm), dtype),
-            pltpu.VMEM((k, pc + 2 * hm), dtype),
-            pltpu.VMEM((k, pc + 2 * hm), jnp.int32),
-            pltpu.VMEM((3, 3, k, pc), dtype),
-            pltpu.VMEM((3, 3, k, pc), dtype),
-            pltpu.VMEM((3, 9, k, pc), dtype),
-            pltpu.VMEM((3, k, pc), dtype),
-            pltpu.VMEM((3, k, pc), jnp.int32),
-            pltpu.VMEM((4, pc), jnp.int32),
-        ],
+        scratch_shapes=(
+            [  # packed: vel+C as 6 bf16-pair int32 rows (17 -> 11 rows)
+                pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+                pltpu.VMEM((6, k, pc + 2 * hm), jnp.int32),
+                pltpu.VMEM((k, pc + 2 * hm), dtype),
+                pltpu.VMEM((k, pc + 2 * hm), jnp.int32),
+                pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+                pltpu.VMEM((6, k, pc + 2 * hm), jnp.int32),
+                pltpu.VMEM((k, pc + 2 * hm), dtype),
+                pltpu.VMEM((k, pc + 2 * hm), jnp.int32),
+                pltpu.VMEM((3, 3, k, pc), dtype),
+                pltpu.VMEM((3, 6, k, pc), jnp.int32),
+                pltpu.VMEM((3, k, pc), dtype),
+                pltpu.VMEM((3, k, pc), jnp.int32),
+                pltpu.VMEM((4, pc), jnp.int32),
+            ]
+            if config.storage_dtype == "bfloat16"
+            else [
+                pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+                pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+                pltpu.VMEM((9, k, pc + 2 * hm), dtype),
+                pltpu.VMEM((k, pc + 2 * hm), dtype),
+                pltpu.VMEM((k, pc + 2 * hm), jnp.int32),
+                pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+                pltpu.VMEM((3, k, pc + 2 * hm), dtype),
+                pltpu.VMEM((9, k, pc + 2 * hm), dtype),
+                pltpu.VMEM((k, pc + 2 * hm), dtype),
+                pltpu.VMEM((k, pc + 2 * hm), jnp.int32),
+                pltpu.VMEM((3, 3, k, pc), dtype),
+                pltpu.VMEM((3, 3, k, pc), dtype),
+                pltpu.VMEM((3, 9, k, pc), dtype),
+                pltpu.VMEM((3, k, pc), dtype),
+                pltpu.VMEM((3, k, pc), jnp.int32),
+                pltpu.VMEM((4, pc), jnp.int32),
+            ]
+        ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024

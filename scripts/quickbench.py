@@ -33,13 +33,16 @@ def main():
     config, fluid = scene.config, scene.fluid
     if os.environ.get("MPM_F32", "0") == "1":  # storage-dtype attribution
         config = config.replace(storage_dtype="float32")
+    if os.environ.get("MPM_BF16", "0") == "1":  # bf16 storage -> the packed
+        # migration path (vel+C as 6 int32 bf16-pair select rows, fused.py)
+        config = config.replace(storage_dtype="bfloat16")
     n = scene.state.num_particles
     flags = {f: os.environ.get(f) for f in
              ("MPM_FUSED_GATE", "MPM_FUSED_NOMIG", "MPM_FUSED_NOG2P",
               "MPM_FUSED_NOP2G1", "MPM_FUSED_NOP2G2",
               "MPM_KP_NOS1", "MPM_KP_NOS2", "MPM_KP_NODEN", "MPM_KP_NOU",
               "MPM_SELECT_CHUNK", "MPM_FORCE_LIVE",
-              "MPM_PALLAS_OLD", "MPM_DT0")
+              "MPM_PALLAS_OLD", "MPM_DT0", "MPM_BF16", "MPM_WINDOW_WY")
              if os.environ.get(f)}
     if os.environ.get("MPM_DT0", "0") == "1":  # static fluid: isolates the
         fluid = fluid.replace(dt=0.0)          # no-churn select cost

@@ -182,3 +182,59 @@ def test_bf16_storage_engines_match():
         rtol=0.01, atol=1e-4,
     )
     assert int(s_f.lost) == int(s_x.lost) == 0
+
+
+def test_bf16_packed_windowed_matches_full_grid():
+    """The official-bench combination: bf16 storage (the PACKED migration —
+    vel+C as 6 bf16-pair int32 rows through the selects) under a y-window.
+    Windowing must stay invisible: windowed == full-grid bit-for-bit."""
+    from mpm_tpu.ops.window import window_config
+
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = sc.config.replace(bin_capacity=8, grid_res=(16, 32, 16),
+                               storage_dtype="bfloat16")
+    wcfg = window_config(config, 16)
+    assert fused.fused_supported(wcfg)
+    b_full = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+    b_win = jax.jit(lambda s: bucketed.from_simstate(s, wcfg))(sc.state)
+    for _ in range(3):
+        b_full = fused.substep_fused(b_full, config, sc.fluid, (),
+                                     interpret=True)
+        b_win = fused.substep_fused(b_win, wcfg, sc.fluid, (),
+                                    interpret=True)
+    a = bucketed.to_simstate(b_full, config.num_particles)
+    b = bucketed.to_simstate(b_win, config.num_particles)
+    for x, y in ((a.pos, b.pos), (a.vel, b.vel), (a.C, b.C), (a.ids, b.ids)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int(b_win.ceiling) == 0 and int(b_win.lost) == 0
+
+
+def test_bf16_packed_sharded_matches_fused():
+    """Config-5 combination: the packed-migration kernels inside shard_map
+    (slab halos exchange bf16 vel/C state) must match the single-device
+    packed path slot-for-slot."""
+    from jax.sharding import Mesh
+
+    from mpm_tpu.parallel import domain
+
+    sc = fluid_3d(grid_res=16, box=8.0, spacing=0.8)
+    config = sc.config.replace(bin_capacity=8, storage_dtype="bfloat16")
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+    s_ref = b0
+    for _ in range(3):
+        s_ref = fused.substep_fused(s_ref, config, sc.fluid, (),
+                                    interpret=True)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    step = domain.make_sharded_bucket_step(config, mesh, substeps=3,
+                                           interpret=True)
+    s_sh = step(domain.shard_bucket_state(b0, mesh), sc.fluid, ())
+    np.testing.assert_array_equal(np.asarray(s_sh.ids), np.asarray(s_ref.ids))
+    np.testing.assert_allclose(np.asarray(s_sh.pos), np.asarray(s_ref.pos),
+                               atol=1e-6)
+    # sharded P2G accumulates in a different order -> values at a bf16
+    # rounding boundary may land one ulp apart (same tolerance as
+    # test_bf16_storage_engines_match)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.vel).astype(np.float32),
+        np.asarray(s_ref.vel).astype(np.float32), rtol=0.01, atol=1e-4)
+    assert int(s_sh.lost) == int(s_ref.lost) == 0
