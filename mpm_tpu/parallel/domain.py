@@ -732,3 +732,15 @@ def demo_sharded_bucket_step(n_devices: int) -> None:
     wout = wstep(shard_bucket_state(bw, mesh), scene.fluid, ())
     assert int(wout.lost) == 0
     np.asarray(wout.pos)
+
+    # the official scenes store vel/C in bf16 since round 4, which routes
+    # kernel F through the PACKED migration (vel+C as 6 bf16-pair int32
+    # rows; ops/pallas/fused.py "packed migration") — validate that path
+    # sharded too
+    pcfg = config.replace(storage_dtype="bfloat16")
+    bp = jax.jit(lambda s: bucketed.from_simstate(s, pcfg))(scene.state)
+    pstep = make_sharded_bucket_step(pcfg, mesh, substeps=1,
+                                     interpret=interpret)
+    pout = pstep(shard_bucket_state(bp, mesh), scene.fluid, ())
+    assert int(pout.lost) == 0
+    np.asarray(pout.pos)
