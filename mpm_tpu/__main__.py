@@ -388,7 +388,33 @@ def cmd_render(args):
     )
     view = jnp.asarray(default_view(scene.config.grid_res))
 
-    if args.orbit_camera:
+    fly_src = None
+    camera_moves = args.orbit_camera
+    if getattr(args, "fly_script", None) or getattr(args, "fly", False):
+        # interactive / scripted flight (the reference's fly camera,
+        # main_camera.gd:92-132); poses are traced inputs — no recompiles
+        from .render.flycam import FlyCamera, ScriptKeys, TerminalKeys
+
+        fly_src = (ScriptKeys(args.fly_script) if args.fly_script
+                   else TerminalKeys())
+        c = [r / 2.0 for r in scene.config.grid_res]
+        fly_cam = FlyCamera((c[0] + 55.0, c[1] + 28.0, c[2] + 55.0),
+                            (c[0], c[1] - 8.0, c[2]),
+                            speed=args.fly_speed,
+                            look_rate=args.fly_look_rate)
+        camera_moves = True
+        _fly_prev = [time.perf_counter()]
+
+        def view_fn(frame):
+            now = time.perf_counter()
+            # scripted flights use a fixed 60 Hz delta for replayability;
+            # interactive ones the real frame delta like the reference
+            dt = 1.0 / 60.0 if args.fly_script else min(
+                now - _fly_prev[0], 0.25)
+            _fly_prev[0] = now
+            fly_cam.apply_keys(fly_src.poll(), dt)
+            return jnp.asarray(fly_cam.view())
+    elif args.orbit_camera:
         import numpy as _np
 
         from .render.camera import look_at
@@ -430,7 +456,7 @@ def cmd_render(args):
         # at 1080p; ~1.7 of 7.2 ms at 640x360, scripts/render_attrib.py —
         # the earlier "wash at small frames" result was an isolated-jit
         # measurement artifact). A moving camera recomputes it per frame.
-        _bg = None if args.orbit_camera else background_for_view(rc, view)
+        _bg = None if camera_moves else background_for_view(rc, view)
         # frames leave the device as uint8 — the gamma-2.2 tonemap runs on
         # device and the host link moves 1/4 the bytes (render/pipeline.py
         # frame_to_u8: the f32 transfer was ~180 ms/frame of the loop)
@@ -516,6 +542,9 @@ def cmd_render(args):
     metrics = MetricsLogger(path=args.metrics)
     prev = None
     for i in range(args.frames):
+        if fly_src is not None and fly_src.quit:
+            print(f"fly camera: quit at frame {i}")
+            break
         td0 = time.perf_counter()
         v = view_fn(i)
         if full_frame is not None:
@@ -564,6 +593,8 @@ def cmd_render(args):
             checkpoint.save(ck, state, scene.fluid,
                             win.config if win else scene.config)
             print(f"checkpointed {ck}")
+    if fly_src is not None:
+        fly_src.close()  # restore the terminal before printing the summary
     if prev is not None:
         flush(*prev)
     for f in pending:
@@ -660,10 +691,30 @@ def main(argv=None):
     p_r.add_argument(
         "--orbit-camera",
         action="store_true",
-        help="scripted camera orbit around the domain center (the headless "
-        "analogue of the reference's fly camera, main_camera.gd:92-132 — "
-        "camera poses are traced per-frame inputs, no recompiles)",
+        help="scripted camera orbit around the domain center (camera poses "
+        "are traced per-frame inputs, no recompiles)",
     )
+    p_r.add_argument(
+        "--fly",
+        action="store_true",
+        help="interactive fly camera over the live render loop (the "
+        "reference's right-mouse+WASD flight, main_camera.gd:92-132): "
+        "w/a/s/d move, q/e down/up, arrows or i/j/k/l look, +/- speed, "
+        "Esc quits; reads raw stdin, needs a terminal",
+    )
+    p_r.add_argument(
+        "--fly-script",
+        default=None,
+        metavar="SPEC",
+        help="deterministic fly-camera key schedule, e.g. 'w:30,wl:10' = "
+        "30 frames holding w then 10 holding w+l ('.' = coast); replayable "
+        "flights without a terminal (render/flycam.py)",
+    )
+    p_r.add_argument("--fly-speed", type=float, default=40.0,
+                     help="fly speed, world units/s (reference SPEED=200 in "
+                     "its ~4x larger world, main_camera.gd:94)")
+    p_r.add_argument("--fly-look-rate", type=float, default=2.5,
+                     help="look rate, degrees per frame a look key is held")
     p_r.add_argument(
         "--hud",
         action="store_true",
