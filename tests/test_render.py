@@ -241,6 +241,43 @@ def test_pallas_blur_matches_xla():
                                rtol=1e-5)
 
 
+def test_pallas_blur_tiled_blocks_match_xla():
+    """Multi-block grids (the round-4 tiled passes): 320x512 tiles the X
+    pass into two 160-row blocks and the Y pass into two 256-lane blocks.
+    Fluid confined to the upper-left quadrant makes block tap bounds
+    DIFFER (empty blocks run zero taps) — per-block dynamic trip counts
+    must not change results vs the XLA oracle (masked taps are exact
+    zeros), and block seams must be invisible (each block reads its own
+    halo-padded input)."""
+    from mpm_tpu.render.blur_kernel import _block, blur_depth_pallas
+    from mpm_tpu.render.splat import BG_DEPTH
+    from mpm_tpu.render.ssfr import SSFRParams, bilateral_blur_1d
+
+    h, w = 320, 512
+    assert _block(h, 8, 160) == 160 and _block(w, 128, 384) == 256
+    cam = Camera(width=w, height=h)
+    rng = np.random.default_rng(11)
+    depth = np.full((h, w), BG_DEPTH, np.float32)
+    # fluid crosses the X-pass row seam (rows 140..180 span blocks 0/1)
+    # but leaves the right Y-pass block (lanes 256+) empty
+    depth[100:180, 30:220] = 25.0 + rng.uniform(-2, 2, (80, 190)).astype(np.float32)
+    depth[150:160, 200:250] = 10.0  # near patch straddling the seam region
+    depth = jnp.asarray(depth)
+
+    r = 6
+    params = SSFRParams(blur_tap_radius=r, max_filter_size=r)
+    ref = bilateral_blur_1d(depth, 1, params, cam)
+    ref = bilateral_blur_1d(ref, 0, params, cam)
+    got = blur_depth_pallas(
+        depth, cam, radius=r, max_filter=r,
+        blur_filter_size=params.blur_filter_size * params.particle_sphere_radius,
+        depth_threshold=params.particle_sphere_radius * params.blur_depth_scale,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4,
+                               rtol=1e-5)
+
+
 def test_particle_quality_resolves_within_cell_occlusion():
     """RenderConfig.quality="particle" z-buffers every live slot (the
     reference's per-instance raster fidelity, billboard_sphere.gdshader):
