@@ -34,6 +34,18 @@ def _common(p):
         "occupied y-range of the true domain; identical physics, air cells "
         "stop costing DMA/VPU work (3D bucketed/pallas modes only)",
     )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        metavar="N",
+        help="SPMD over the first N local devices: x-slab domain "
+        "decomposition with halo exchange over the mesh "
+        "(parallel/domain.py; BASELINE config 5). Render uses the "
+        "distributed composite (per-shard splat z-buffers, pmin depth "
+        "merge — parallel/render.py). 3D bucket/pallas modes; grid x "
+        "must divide into >= 2-plane slabs",
+    )
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir", default="/tmp/mpm_ckpt")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
@@ -168,18 +180,59 @@ def _build(args):
         and scene.config.dim == 3
         and mode in ("bucketed", "pallas")
     )
+    mesh = None
+    shards = getattr(args, "shards", 0)
+    if shards:
+        # SPMD x-slab decomposition (parallel/domain.py) over the first N
+        # local devices — the CLI surface for BASELINE config 5. The shard
+        # kernels are the fused Pallas pair; on CPU they run in interpret
+        # mode (same path the 8-virtual-device test mesh exercises).
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if shards > len(devs):
+            raise SystemExit(
+                f"--shards {shards}: only {len(devs)} device(s) visible "
+                "(set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                "with JAX_PLATFORMS=cpu to emulate a mesh)")
+        if scene.config.dim != 3 or mode not in ("bucketed", "pallas"):
+            raise SystemExit("--shards requires a 3D scene on the "
+                             "bucket/pallas path")
+        nx = scene.config.grid_res[0]
+        if nx % shards or nx // shards < 2:
+            raise SystemExit(
+                f"--shards {shards} must divide grid x={nx} into slabs of "
+                ">= 2 planes")
+        mesh = Mesh(np.asarray(devs[:shards]), ("x",))
+        print(f"mesh: {shards} x-slab shard(s) over "
+              f"{devs[0].platform} devices")
+    interp = jax.default_backend() == "cpu"
     if windowed:
         # air-window engine (ops/window.py): same physics at the true
         # domain, arrays sized to the occupied y-range. win.step has the
         # step signature; resizes recompile the renderer per window height
-        # (cached after first use).
+        # (cached after first use). With a mesh, the window drives the
+        # SHARDED production kernels (x-slabs) while tracking y.
         from .ops.window import YWindow
 
         win = YWindow(scene.config, mode=mode,
-                      substeps=args.substeps or scene.config.substeps)
+                      substeps=args.substeps or scene.config.substeps,
+                      mesh=mesh, interpret=interp and mesh is not None)
         state = win.init(scene.state)
         step = win.step
         print(f"air-window engine: wy={win.wy} of ny={scene.config.grid_res[1]}")
+    elif mesh is not None:
+        from .parallel.domain import make_sharded_bucket_step, shard_bucket_state
+
+        win = None
+        step = make_sharded_bucket_step(
+            scene.config, mesh,
+            substeps=args.substeps or scene.config.substeps,
+            interpret=interp)
+        state = jax.jit(lambda s: bucketed.from_simstate(s, scene.config))(
+            scene.state)
+        state = shard_bucket_state(state, mesh)
     else:
         win = None
         step = make_step(scene.config, mode=mode, substeps=args.substeps)
@@ -225,9 +278,13 @@ def _build(args):
         elif is_bucket and not want_bucket:
             state = bucketed.to_simstate(state, scene.config.num_particles)
             print("converted bucket checkpoint state to linear")
+        if mesh is not None and not windowed:
+            from .parallel.domain import shard_bucket_state
+
+            state = shard_bucket_state(state, mesh)
         scene = scene._replace(fluid=fluid)
         print(f"resumed from {args.resume}")
-    return scene, step, state, mode, win
+    return scene, step, state, mode, win, mesh
 
 
 def cmd_run(args):
@@ -236,7 +293,7 @@ def cmd_run(args):
     _setup_jax()
     from .utils.timing import FrameStats, fence
 
-    scene, step, state, mode, win = _build(args)
+    scene, step, state, mode, win, mesh = _build(args)
     n = scene.state.num_particles
     substeps = args.substeps or scene.config.substeps
     inter0, inter_fn = _parse_interactions(args, scene.config)
@@ -370,7 +427,7 @@ def cmd_render(args):
         write_png,
     )
 
-    scene, step, state, mode, win = _build(args)
+    scene, step, state, mode, win, mesh = _build(args)
     fluid0, fluid_fn = _apply_fluid_overrides(args, scene.fluid)
     scene = scene._replace(fluid=fluid0)
     if scene.config.dim == 2:
@@ -441,6 +498,9 @@ def cmd_render(args):
         and scene.config.dim == 3
         and args.sphere_render_ratio >= 1.0
     )
+    if mesh is not None and not bucket_path:
+        raise SystemExit("--shards render requires the bucket render path "
+                         "(--sphere-render-ratio 1.0)")
     if bucket_path:
         # Pallas cell-extraction render path (render/extract_kernel.py):
         # per-cell nearest-particle reduction in VMEM before the z-buffer
@@ -472,7 +532,28 @@ def cmd_render(args):
         from .render.pipeline import make_full_frame_step
 
         full_frame = None
-        if (mode == "pallas"
+        if mesh is not None:
+            # distributed render composite (parallel/render.py): sharded
+            # substeps + per-shard splat emission + pmin depth merge + SSFR
+            # — per-frame cross-device traffic is the [H, W] buffer, never
+            # the particle state (BASELINE config 5's render clause)
+            if getattr(args, "window", "off") == "auto":
+                raise SystemExit(
+                    "--shards render supports --window off only (the "
+                    "windowed+sharded engine is available via `run`)")
+            if args.render_quality != "cell" or rc.mode == "none":
+                raise SystemExit(
+                    "--shards render uses the distributed cell-splat "
+                    "composite: requires --render-quality cell and a "
+                    "drawing --render-mode")
+            from .parallel.render import make_sharded_frame_step
+
+            full_frame = make_sharded_frame_step(
+                scene.config, mesh, rc,
+                substeps=args.substeps or scene.config.substeps,
+                cubemap_faces=cubemap,
+                interpret=jax.default_backend() == "cpu")
+        elif (mode == "pallas"
                 and getattr(args, "window", "off") != "auto"
                 and args.render_quality == "cell"
                 and rc.mode != "none"

@@ -94,6 +94,51 @@ def test_cli_render_orbit_camera(tmp_path):
     assert np.abs(a - b).mean() > 1.0  # the view moved
 
 
+def test_cli_sharded_run_and_render(tmp_path):
+    """--shards N: the CLI surface for the SPMD x-slab path (BASELINE
+    config 5). run drives make_sharded_bucket_step on a 2-device mesh of
+    the 8-vdev CPU fixture; render drives the distributed composite
+    (parallel/render.make_sharded_frame_step). Counters must report zero
+    loss and frames must be written."""
+    metrics = tmp_path / "m.jsonl"
+    main([
+        "run", "fluid_3d_cpu", "--frames", "1", "--mode", "bucketed",
+        "--substeps", "1", "--shards", "2", "--metrics", str(metrics),
+    ])
+    import json
+
+    counters = [json.loads(l) for l in metrics.read_text().splitlines()
+                if json.loads(l)["event"] == "counters"]
+    assert counters and counters[0]["lost"] == 0
+
+    out = tmp_path / "frames"
+    main([
+        "render", "fluid_3d_cpu", "--frames", "2", "--mode", "bucketed",
+        "--substeps", "1", "--shards", "2", "--width", "128",
+        "--height", "96", "--out", str(out),
+    ])
+    pngs = sorted(glob.glob(os.path.join(str(out), "*.png")))
+    assert len(pngs) == 2
+    assert os.path.getsize(pngs[0]) > 500
+
+
+def test_cli_sharded_windowed_run(tmp_path):
+    """--shards + --window auto: the air-window engine over the mesh (the
+    full config-5 sim stack) through the CLI."""
+    main([
+        "run", "fluid_3d_cpu", "--frames", "1", "--mode", "bucketed",
+        "--substeps", "1", "--shards", "2", "--window", "auto",
+    ])
+
+
+def test_cli_sharded_rejects_bad_split():
+    with pytest.raises(SystemExit):
+        main([
+            "run", "fluid_3d_cpu", "--frames", "1", "--mode", "bucketed",
+            "--substeps", "1", "--shards", "3",  # 32 % 3 != 0
+        ])
+
+
 def test_cli_render_metrics_and_checkpoint(tmp_path):
     """The render command honors --metrics and --checkpoint-every (they
     were silently ignored until the round-3 soak test caught it)."""
