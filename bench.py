@@ -324,8 +324,11 @@ def main():
         return
 
     # parent: one fresh subprocess per phase (measurement rule), JSON lines
-    # re-emitted in the official order with the headline LAST
+    # re-emitted in the official order with the headline LAST. A non-pool
+    # phase failure degrades gracefully (its lines are skipped) — losing
+    # the 1080p or dynamic line must not zero out the whole artifact.
     lines = {}
+    failed = []
     for phase in ("pool", "1080p", "dynamic"):
         t0 = time.perf_counter()
         r = subprocess.run(
@@ -334,7 +337,12 @@ def main():
         sys.stderr.write(r.stderr)
         if r.returncode != 0:
             sys.stderr.write(r.stdout)
-            raise SystemExit(f"bench phase {phase} failed ({r.returncode})")
+            if phase == "pool":
+                raise SystemExit(f"bench phase {phase} failed ({r.returncode})")
+            failed.append(phase)
+            print(f"# phase {phase} FAILED ({r.returncode}) — continuing",
+                  file=sys.stderr)
+            continue
         for ln in r.stdout.splitlines():
             ln = ln.strip()
             if ln.startswith("{"):
@@ -346,7 +354,12 @@ def main():
                    "particle_steps_per_sec_1M_3d",
                    "particle_steps_per_sec_1M_3d_render_1080p",
                    "particle_steps_per_sec_1M_3d_with_render"):
-        print(json.dumps(lines[metric]))
+        if metric in lines:
+            print(json.dumps(lines[metric]))
+    if failed:
+        # exit 0: the emitted lines are the artifact — a missing metric IS
+        # the failure signal, and a nonzero rc could discard the good lines
+        print(f"# bench degraded: phase(s) {failed} failed", file=sys.stderr)
 
 
 if __name__ == "__main__":
