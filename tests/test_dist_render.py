@@ -128,6 +128,41 @@ def test_sharded_frame_velocity_mode():
     assert np.mean(np.abs(a - b)) < 0.5
 
 
+def test_sharded_frame_thickness_pass():
+    """thickness_pass=True over the mesh: the additive thickness buffer is
+    psum-composited across shards (disjoint interior cells, so the sum of
+    per-shard deposits equals the single-device deposit) and the shaded
+    frames must match the single-device thickness-pass frames within the
+    same budget as the default mode."""
+    from mpm_tpu.render import SSFRParams
+
+    config, fluid, state = _scene()
+    rc = RenderConfig(camera=Camera(width=128, height=96),
+                      ssfr=SSFRParams(thickness_pass=True))
+    view = jnp.asarray(look_at((40.0, 30.0, 40.0), (8.0, 6.0, 8.0)))
+    bg = background_for_view(rc, view)
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(state)
+
+    single = make_full_frame_step(config, rc, 2, donate=False,
+                                  interpret=True)
+    _, img1 = single(b0, fluid, (), view, bg)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("x",))
+    sharded = make_sharded_frame_step(config, mesh, rc, substeps=2,
+                                      donate=False, interpret=True)
+    _, img2 = sharded(domain.shard_bucket_state(b0, mesh), fluid, (),
+                      view, bg)
+    a = np.asarray(img1).astype(np.int32)
+    b = np.asarray(img2).astype(np.int32)
+    assert np.mean(np.abs(a - b)) < 0.5
+    # and the pass is actually ON: it must differ from the constant-
+    # thickness default frame
+    rc0 = RenderConfig(camera=Camera(width=128, height=96))
+    single0 = make_full_frame_step(config, rc0, 2, donate=False,
+                                   interpret=True)
+    _, img0 = single0(b0, fluid, (), view, bg)
+    assert np.mean(np.abs(a - np.asarray(img0).astype(np.int32))) > 0.1
+
+
 def test_sharded_frame_windowed_config():
     """Config 5's full clause: the air-window composes with the sharded
     render (windowed sharded substeps + distributed composite)."""
