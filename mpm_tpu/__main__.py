@@ -156,9 +156,25 @@ def _parse_interactions(args, config):
 
 
 def _setup_jax():
+    import re
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache"))
+    # honor XLA_FLAGS=--xla_force_host_platform_device_count=N on CPU: some
+    # environments (this one) silently ignore the flag itself — the config
+    # knob below is what actually works, and it must be set before first
+    # device use (tests/conftest.py documents the same trap)
+    m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+                  os.environ.get("XLA_FLAGS", ""))
+    if m and os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        try:
+            # BOTH, in this order — with only the env var (or only
+            # num_cpu_devices) the count silently stays 1
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", int(m.group(1)))
+        except RuntimeError:
+            pass  # backend already initialized — leave device count alone
     return jax
 
 
@@ -501,6 +517,11 @@ def cmd_render(args):
     if mesh is not None and not bucket_path:
         raise SystemExit("--shards render requires the bucket render path "
                          "(--sphere-render-ratio 1.0)")
+    if rc.mode == "legacy_quad" and not bucket_path:
+        raise SystemExit(
+            "--render-mode legacy_quad reads the bucket-state texture "
+            "contract: requires a 3D bucketed/pallas scene and "
+            "--sphere-render-ratio 1.0")
     if bucket_path:
         # Pallas cell-extraction render path (render/extract_kernel.py):
         # per-cell nearest-particle reduction in VMEM before the z-buffer
@@ -520,9 +541,11 @@ def cmd_render(args):
         # frames leave the device as uint8 — the gamma-2.2 tonemap runs on
         # device and the host link moves 1/4 the bytes (render/pipeline.py
         # frame_to_u8: the f32 transfer was ~180 ms/frame of the loop)
+        _np_count = scene.state.num_particles
         renderer_b = jax.jit(lambda s, v: frame_to_u8(render_frame_buckets(
             s, v, rc=rc, cubemap_faces=cubemap, bg=_bg,
             interpret=jax.default_backend() == "cpu",
+            num_particles=_np_count,
         )))
         # single-jit frame: substeps + in-kernel splat emission (the
         # reference's g2p render-texture write, g2p.glsl:149-150) + SSFR +
@@ -541,7 +564,8 @@ def cmd_render(args):
                 raise SystemExit(
                     "--shards render supports --window off only (the "
                     "windowed+sharded engine is available via `run`)")
-            if args.render_quality != "cell" or rc.mode == "none":
+            if args.render_quality != "cell" or rc.mode in ("none",
+                                                            "legacy_quad"):
                 raise SystemExit(
                     "--shards render uses the distributed cell-splat "
                     "composite: requires --render-quality cell and a "
@@ -556,7 +580,7 @@ def cmd_render(args):
         elif (mode == "pallas"
                 and getattr(args, "window", "off") != "auto"
                 and args.render_quality == "cell"
-                and rc.mode != "none"
+                and rc.mode not in ("none", "legacy_quad")
                 and fused_supported(scene.config)):
             full_frame = make_full_frame_step(
                 scene.config, rc, args.substeps or scene.config.substeps,
@@ -731,7 +755,8 @@ def main(argv=None):
     p_r.add_argument(
         "--render-mode",
         default="default",
-        choices=["default", "velocity_spheres", "lit_spheres", "depth_debug", "none"],
+        choices=["default", "velocity_spheres", "lit_spheres", "depth_debug",
+                 "none", "legacy_quad"],
     )
     p_r.add_argument("--sphere-radius", type=float, default=1.0)
     p_r.add_argument(

@@ -1,8 +1,10 @@
 from .camera import Camera, look_at
+from .legacy import legacy_quad_frame
 from .pipeline import (
     RenderConfig,
     RENDER_DEFAULT,
     RENDER_DEPTH_DEBUG,
+    RENDER_LEGACY_QUAD,
     RENDER_NONE,
     RENDER_VELOCITY_SPHERES,
     default_view,
@@ -30,5 +32,7 @@ __all__ = [
     "RENDER_DEFAULT",
     "RENDER_VELOCITY_SPHERES",
     "RENDER_DEPTH_DEBUG",
+    "RENDER_LEGACY_QUAD",
     "RENDER_NONE",
+    "legacy_quad_frame",
 ]

@@ -54,7 +54,14 @@ DEPTH_DISCARD = 1e-4
 
 def pos_texture_width(n: int) -> int:
     """Texture side for n particles: floor(sqrt(n)) + 1
-    (MLSMPM3DFluidMultithreadGPU.cs:196-197)."""
+    (MLSMPM3DFluidMultithreadGPU.cs:196-197).
+
+    Deliberate divergence: the reference truncates a float32 sqrt
+    (`(uint)Mathf.Sqrt(num_particles) + 1`); exact `math.isqrt` can differ
+    by 1 near n ~ 16.7M where the float sqrt rounds up across an integer
+    boundary. Harmless (the texture only needs >= n texels) and
+    self-consistent within this repo — noted in case texture-dimension
+    bit-parity at extreme n ever matters."""
     return math.isqrt(n) + 1
 
 

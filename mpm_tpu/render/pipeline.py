@@ -38,6 +38,9 @@ RENDER_VELOCITY_SPHERES = "velocity_spheres"
 RENDER_LIT_SPHERES = "lit_spheres"
 RENDER_DEPTH_DEBUG = "depth_debug"
 RENDER_NONE = "none"
+# the rebuilt dormant R12/R13 chain (render/legacy.py): GPUParticles-style
+# packed-depth impostor splat -> 16.16 unpack -> legacy non-adaptive blur
+RENDER_LEGACY_QUAD = "legacy_quad"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +125,7 @@ def render_frame_buckets(
     cubemap_faces: jax.Array | None = None,
     interpret: bool = False,
     bg: tuple[jax.Array, jax.Array] | None = None,
+    num_particles: int | None = None,  # texture sizing for legacy_quad mode
 ) -> jax.Array:
     """Bucket-state fast path: the Pallas extraction kernel reduces each
     CELL to its nearest live particle before the z-buffer sort (K times
@@ -141,6 +145,22 @@ def render_frame_buckets(
     )
     if rc.mode == RENDER_NONE:
         return bg_color
+
+    if rc.mode == RENDER_LEGACY_QUAD:
+        # the rebuilt dormant R12/R13 path, end-to-end (render/legacy.py):
+        # id-ordered position texture -> packed-NDC-depth impostor splat ->
+        # 16.16 unpack -> legacy non-adaptive bilateral blur -> /100 view
+        from .legacy import legacy_quad_frame
+
+        if num_particles is None:
+            raise ValueError(
+                "legacy_quad mode needs num_particles (the texture contract "
+                "is sized floor(sqrt(n))+1, MLSMPM3DFluidMultithreadGPU."
+                "cs:196-197)")
+        return legacy_quad_frame(
+            state, num_particles, view, cam, bg_color,
+            sphere_radius=rc.ssfr.particle_sphere_radius,
+            max_radius_px=rc.max_radius_px)
 
     if rc.quality == "particle":
         cells = extract_slot_splats(state, view, cam)
