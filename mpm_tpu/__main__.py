@@ -462,11 +462,17 @@ def cmd_render(args):
     view = jnp.asarray(default_view(scene.config.grid_res))
 
     fly_src = None
+    fly_pointer = None
     camera_moves = args.orbit_camera
     if getattr(args, "fly_script", None) or getattr(args, "fly", False):
         # interactive / scripted flight (the reference's fly camera,
         # main_camera.gd:92-132); poses are traced inputs — no recompiles
-        from .render.flycam import FlyCamera, ScriptKeys, TerminalKeys
+        from .render.flycam import (
+            FlyCamera,
+            ScriptKeys,
+            SpherePointer,
+            TerminalKeys,
+        )
 
         fly_src = (ScriptKeys(args.fly_script) if args.fly_script
                    else TerminalKeys())
@@ -475,6 +481,13 @@ def cmd_render(args):
                             (c[0], c[1] - 8.0, c[2]),
                             speed=args.fly_speed,
                             look_rate=args.fly_look_rate)
+        # SPACE/'p' steers the interaction sphere along the crosshair ray
+        # (the reference's LMB collider; 3D scenes only)
+        if scene.config.dim == 3:
+            fly_pointer = SpherePointer(
+                scene.config, plane_y=args.fly_plane_y,
+                radius=args.fly_sphere_radius,
+                strength=args.fly_sphere_strength)
         camera_moves = True
         _fly_prev = [time.perf_counter()]
 
@@ -485,7 +498,10 @@ def cmd_render(args):
             dt = 1.0 / 60.0 if args.fly_script else min(
                 now - _fly_prev[0], 0.25)
             _fly_prev[0] = now
-            fly_cam.apply_keys(fly_src.poll(), dt)
+            keys = fly_src.poll()
+            fly_cam.apply_keys(keys, dt)
+            if fly_pointer is not None:
+                fly_pointer.update(fly_cam, keys)
             return jnp.asarray(fly_cam.view())
     elif args.orbit_camera:
         import numpy as _np
@@ -614,6 +630,16 @@ def cmd_render(args):
 
     stats = FrameStats()
     inter0, inter_fn = _parse_interactions(args, scene.config)
+    if fly_pointer is not None:
+        # append the steerable sphere to every frame's interactions tuple
+        # (ALWAYS present so the tuple structure — and thus the jit
+        # signature — never changes; `active` gates the force, traced)
+        _base_inter_fn = inter_fn
+
+        def inter_fn(frame):
+            return _base_inter_fn(frame) + (fly_pointer.interaction(),)
+
+        inter0 = inter_fn(0)
     t0 = time.perf_counter()
     # PNG encode+write runs on worker threads, overlapped with the next
     # frames' device compute (the reference's render thread separation,
@@ -806,7 +832,9 @@ def main(argv=None):
         help="interactive fly camera over the live render loop (the "
         "reference's right-mouse+WASD flight, main_camera.gd:92-132): "
         "w/a/s/d move, q/e down/up, arrows or i/j/k/l look, +/- speed, "
-        "Esc quits; reads raw stdin, needs a terminal",
+        "SPACE pushes the fluid with the steerable collider sphere at the "
+        "crosshair (the reference's LMB mouse-ray interaction), Esc quits; "
+        "reads raw stdin, needs a terminal",
     )
     p_r.add_argument(
         "--fly-script",
@@ -821,6 +849,20 @@ def main(argv=None):
                      "its ~4x larger world, main_camera.gd:94)")
     p_r.add_argument("--fly-look-rate", type=float, default=2.5,
                      help="look rate, degrees per frame a look key is held")
+    p_r.add_argument(
+        "--fly-plane-y", type=float, default=None,
+        help="steerable collider: hold SPACE (script token 'p') while "
+        "flying to place the interaction sphere where the crosshair ray "
+        "meets the horizontal plane y=PLANE_Y and push the fluid — the "
+        "reference's LMB mouse-ray-onto-plane collider "
+        "(MLSMPM3DFluidMultithreadGPU.cs:618-642, g2p.glsl:122-129). "
+        "Default: domain height / 5")
+    p_r.add_argument("--fly-sphere-radius", type=float, default=None,
+                     help="steerable collider radius (default max(4, nx/8); "
+                     "reference SphereShape3D radius 15)")
+    p_r.add_argument("--fly-sphere-strength", type=float, default=1.0,
+                     help="steerable collider radial push strength "
+                     "(reference: unit push, g2p.glsl:126-128)")
     p_r.add_argument(
         "--hud",
         action="store_true",

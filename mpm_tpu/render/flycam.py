@@ -118,6 +118,63 @@ class FlyCamera:
         return look_at(self.pos, self.pos + fwd)
 
 
+class SpherePointer:
+    """Steerable interaction sphere — the reference's signature interaction:
+    while LMB is held, the sphere collider jumps to the mouse ray's
+    intersection with a horizontal plane and pushes the fluid
+    (HandleMouseInteraction, MLSMPM3DFluidMultithreadGPU.cs:618-642; the
+    SphereMovePlane is a y=0 WorldBoundaryShape3D,
+    MLSMPM3DFluidMultithreadGPU.tscn:58-66; force in g2p.glsl:122-129).
+
+    Headless analogue: the fly camera's CENTER ray is the pointer — hold
+    SPACE (or 'p', the scriptable token) to place the sphere where the
+    crosshair ray meets the plane y = plane_y and push. The Interaction is
+    a traced pytree, so steering never recompiles, exactly like the
+    reference's push-constant patch."""
+
+    def __init__(self, config, plane_y: float | None = None,
+                 radius: float | None = None, strength: float = 1.0):
+        res = [float(r) for r in config.dres]
+        self.plane_y = float(plane_y) if plane_y is not None else res[1] / 5.0
+        self.radius = float(radius) if radius is not None else max(
+            4.0, res[0] / 8.0)
+        self.strength = float(strength)
+        self._dres = res
+        self.center = np.array([res[0] / 2.0, self.plane_y, res[2] / 2.0],
+                               np.float64)
+        self.active = 0.0
+
+    def update(self, cam: FlyCamera, keys: str) -> None:
+        """One frame: SPACE/'p' held = the reference's LMB held (the sphere
+        repositions AND pushes only while pressed,
+        MLSMPM3DFluidMultithreadGPU.cs:621-631)."""
+        pressed = (" " in keys) or ("p" in keys)
+        self.active = 1.0 if pressed else 0.0
+        if not pressed:
+            return
+        fwd = cam.basis() @ np.array([0.0, 0.0, -1.0])
+        if abs(fwd[1]) < 1e-6:
+            return  # ray parallel to the plane: keep the last position
+        t = (self.plane_y - cam.pos[1]) / fwd[1]
+        if t <= 0.0:
+            return  # plane behind the camera
+        hit = cam.pos + t * fwd
+        # clamp to the physics domain (SimConfig.dres — the TRUE domain,
+        # not the array extent; CLAUDE.md invariant)
+        self.center = np.minimum(np.maximum(hit, 0.0),
+                                 np.asarray(self._dres, np.float64))
+        self.center[1] = self.plane_y
+
+    def interaction(self):
+        """This frame's traced Interaction (active gates the force)."""
+        from ..ops.interact import Interaction
+
+        return Interaction.sphere(self.center.astype(np.float32),
+                                  radius=self.radius,
+                                  strength=self.strength,
+                                  active=self.active)
+
+
 # -- input sources ----------------------------------------------------------
 
 _ARROWS = {"A": "U", "B": "D", "C": "R", "D": "L"}  # ESC [ X -> look token

@@ -107,3 +107,101 @@ def test_cli_render_fly_script(tmp_path):
     from mpm_tpu.render.image import read_png_rgb
 
     assert not np.array_equal(read_png_rgb(pngs[0]), read_png_rgb(pngs[-1]))
+
+
+# -- steerable collider (SpherePointer) --------------------------------------
+# the reference's LMB mouse-ray-onto-plane sphere collider
+# (MLSMPM3DFluidMultithreadGPU.cs:618-642; plane = y=0 WorldBoundaryShape3D,
+# MLSMPM3DFluidMultithreadGPU.tscn:58-66; force in g2p.glsl:122-129)
+
+
+def _pointer_config():
+    from mpm_tpu.core.params import SimConfig
+
+    return SimConfig(grid_res=(32, 32, 32), num_particles=8, substeps=1,
+                     bin_capacity=8)
+
+
+def test_sphere_pointer_ray_plane_math():
+    from mpm_tpu.render.flycam import SpherePointer
+
+    cam = FlyCamera(eye=(10.0, 10.0, 10.0), target=(10.0, 0.0, 0.0))
+    # fwd = (0, -.707, -.707): crosshair ray hits y=5 at (10, 5, 5)
+    ptr = SpherePointer(_pointer_config(), plane_y=5.0, radius=4.0)
+    ptr.update(cam, "p")
+    np.testing.assert_allclose(ptr.center, [10.0, 5.0, 5.0], atol=1e-6)
+    assert ptr.active == 1.0
+    it = ptr.interaction()
+    assert float(it.active) == 1.0 and float(it.radius) == 4.0
+
+
+def test_sphere_pointer_gates_on_key():
+    from mpm_tpu.render.flycam import SpherePointer
+
+    cam = FlyCamera(eye=(10.0, 10.0, 10.0), target=(10.0, 0.0, 0.0))
+    ptr = SpherePointer(_pointer_config(), plane_y=5.0)
+    c0 = ptr.center.copy()
+    ptr.update(cam, "w")  # not pressed: sphere stays put, inactive
+    assert ptr.active == 0.0
+    np.testing.assert_array_equal(ptr.center, c0)
+    assert float(ptr.interaction().active) == 0.0
+    # SPACE works like 'p' (the interactive binding)
+    ptr.update(cam, "w ")
+    assert ptr.active == 1.0
+
+
+def test_sphere_pointer_keeps_last_position_when_plane_unreachable():
+    from mpm_tpu.render.flycam import SpherePointer
+
+    ptr = SpherePointer(_pointer_config(), plane_y=5.0)
+    cam = FlyCamera(eye=(10.0, 10.0, 10.0), target=(10.0, 0.0, 0.0))
+    ptr.update(cam, "p")
+    hit = ptr.center.copy()
+    up = FlyCamera(eye=(10.0, 10.0, 10.0), target=(10.0, 20.0, 10.0 - 1e-5))
+    up.pitch = 60.0  # looking up: plane y=5 is behind the camera
+    ptr.update(up, "p")
+    np.testing.assert_array_equal(ptr.center, hit)
+    assert ptr.active == 1.0  # still pushing from the last position
+
+
+def test_sphere_pointer_clamps_to_domain():
+    from mpm_tpu.render.flycam import SpherePointer
+
+    ptr = SpherePointer(_pointer_config(), plane_y=5.0)
+    # shallow ray: hits the plane far outside the 32-unit domain
+    cam = FlyCamera(eye=(16.0, 6.0, 16.0), target=(500.0, 5.0, 16.0))
+    ptr.update(cam, "p")
+    assert 0.0 <= ptr.center[0] <= 32.0
+    np.testing.assert_allclose(ptr.center[1], 5.0)
+
+
+def _fly_checkpoint_pos(tmp_path, name, script):
+    from mpm_tpu.__main__ import main
+    from mpm_tpu.utils import checkpoint
+
+    out = tmp_path / name
+    ck = tmp_path / (name + "_ck")
+    main([
+        "render", "fluid_3d_cpu", "--frames", "2", "--mode", "bucketed",
+        "--substeps", "1", "--out", str(out),
+        "--width", "96", "--height", "64",
+        "--render-mode", "velocity_spheres",
+        "--fly-script", script,
+        "--fly-plane-y", "16", "--fly-sphere-radius", "30",
+        "--fly-sphere-strength", "2.0",
+        "--checkpoint-every", "2", "--checkpoint-dir", str(ck),
+    ])
+    files = sorted(glob.glob(os.path.join(str(ck), "*.npz")))
+    state, _, _, _ = checkpoint.load(files[-1])
+    return np.asarray(state.pos)
+
+
+def test_cli_fly_collider_displaces_fluid(tmp_path):
+    """Scripted session: holding 'p' (the LMB analogue) pushes the fluid —
+    the checkpointed trajectories with and without the push must diverge
+    (VERDICT r4 missing #3: live input driving the collider)."""
+    pos_pushed = _fly_checkpoint_pos(tmp_path, "push", "p:2")
+    pos_idle = _fly_checkpoint_pos(tmp_path, "idle", ".:2")
+    assert pos_pushed.shape == pos_idle.shape
+    moved = np.abs(pos_pushed - pos_idle).max()
+    assert moved > 0.01, f"collider push had no effect (max delta {moved})"
