@@ -58,7 +58,7 @@ def _fma_kernel(x_ref, o_ref, acc, *, reps):
         o_ref[:] = acc[:]
 
 
-def _rmw_kernel(x_ref, o_ref, gm, *, reps, aligned):
+def _rmw_kernel(x_ref, o_ref, gm, *, reps, aligned, support=3):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -66,12 +66,17 @@ def _rmw_kernel(x_ref, o_ref, gm, *, reps, aligned):
         gm[:] = jnp.zeros_like(gm)
 
     row = x_ref[0]  # [pc]
-    # kernel P's 9 intra-plane offsets x `reps` repeats
-    los = [H + dy * Z + dz for dy in (-1, 0, 1) for dz in (-1, 0, 1)]
+    # kernel P's support^2 intra-plane offsets x `reps` repeats. support=3
+    # is the production 27-tap B-spline; support=4 models the AMORTIZED
+    # MIGRATION proposal (VERDICT r4 weak #1: buckets allowed to go ±1 cell
+    # stale between every-2nd-substep migrations -> the tap window relative
+    # to the bucket grows to 4^3 = 16 intra-plane rows x 4 target planes).
+    offs = (-1, 0, 1) if support == 3 else (-1, 0, 1, 2)
+    los = [H + dy * Z + dz for dy in offs for dz in offs]
     for r in range(reps):
         for i, lo in enumerate(los):
             off = 0 if aligned else lo
-            p = (t + (i % 3) - 1)
+            p = (t + (i % support) - 1)
             p = jnp.clip(p, 0, NX - 1)
             gm[p, off : off + PC] += row
 
@@ -243,11 +248,12 @@ def run(which: str):
             scratch_shapes=[pltpu.VMEM((K, PC), jnp.float32)],
         )
         ops = 2 * reps * K * PC * NX  # mul+add per element
-    elif which in ("rmw", "rmw_al"):
+    elif which in ("rmw", "rmw_al", "rmw4"):
         reps = 3  # 27 rows/plane, the kernel P mass-scatter count
+        support = 4 if which == "rmw4" else 3
         f = pl.pallas_call(
             functools.partial(_rmw_kernel, reps=reps,
-                              aligned=which == "rmw_al"),
+                              aligned=which == "rmw_al", support=support),
             grid=(NX,),
             in_specs=[pl.BlockSpec((K, PC), lambda t: (0, 0),
                                    memory_space=pltpu.VMEM)],
@@ -256,7 +262,7 @@ def run(which: str):
             out_shape=jax.ShapeDtypeStruct((NX, PC), jnp.float32),
             scratch_shapes=[pltpu.VMEM((NX, W), jnp.float32)],
         )
-        ops = 9 * reps * PC * NX  # one add per element per row
+        ops = support * support * reps * PC * NX  # one add/element/row
     elif which.startswith("rmw_split"):
         ways = int(which[len("rmw_split"):] or 3)
         reps = 3

@@ -107,6 +107,35 @@ def test_sharded_bucket_mid_scale_default():
     assert int((np.asarray(s_sh.mass) > 0).sum()) == sc.state.num_particles
 
 
+def test_sharded_bucket_64cube_default():
+    """A >=64^3 sharded shape in the DEFAULT suite (VERDICT r4 #9): the
+    flagship's full 64^3 grid (8 x-planes per shard on 8 vdev — the
+    production slab geometry) at a reduced particle count (spacing 1.0 ->
+    32,768), ONE substep, slot-exact vs the single-device fused path. The
+    157k full-density two-frame version stays gated below (MPM_SLOW_TESTS);
+    this covers the same grid shape, halo planes, and migration machinery
+    at default-suite cost."""
+    from mpm_tpu.ops import bucketed
+    from mpm_tpu.ops.pallas import fused
+
+    sc = fluid_3d(spacing=1.0)  # 32,768 particles on the TRUE 64^3 grid
+    config = sc.config.replace(substeps=1, bin_capacity=8)
+    b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(sc.state)
+
+    s_ref = fused.substep_fused(b0, config, sc.fluid, (), interpret=True)
+
+    mesh = _mesh(8)
+    step = domain.make_sharded_bucket_step(config, mesh, substeps=1,
+                                           interpret=True)
+    s_sh = step(domain.shard_bucket_state(b0, mesh), sc.fluid, ())
+
+    np.testing.assert_array_equal(np.asarray(s_sh.ids), np.asarray(s_ref.ids))
+    np.testing.assert_allclose(np.asarray(s_sh.pos), np.asarray(s_ref.pos),
+                               atol=1e-6)
+    assert int(s_sh.lost) == int(s_ref.lost) == 0
+    assert int((np.asarray(s_sh.mass) > 0).sum()) == sc.state.num_particles
+
+
 @pytest.mark.skipif(
     not os.environ.get("MPM_SLOW_TESTS"),
     reason="minutes-long interpret-mode run; set MPM_SLOW_TESTS=1",
