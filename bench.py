@@ -160,6 +160,26 @@ def _settled_pool(n_target, chunk=10):
     return scene, win, state, lost
 
 
+def _crop_rc(scene, rc):
+    """Static fluid crop for the bench's fixed camera (value-preserving —
+    bit-exact frames, tests/test_crop.py): the image-space SSFR passes
+    (dilation, blur, shade + refraction gather) run on the domain's
+    projected rectangle only; the 64^3 bench domain covers ~43% of the
+    1080p frame (ARCHITECTURE.md "Render roofline")."""
+    from mpm_tpu.render import default_view
+    from mpm_tpu.render.pipeline import domain_crop
+
+    view = np.asarray(default_view(scene.config.grid_res))
+    rc = domain_crop(rc, scene.config, view)
+    if rc.crop:
+        y0, x0, ch, cw = rc.crop
+        frac = ch * cw / (rc.camera.width * rc.camera.height)
+        print(f"# fluid crop: {cw}x{ch}+{x0}+{y0} "
+              f"({frac:.0%} of {rc.camera.width}x{rc.camera.height})",
+              file=sys.stderr)
+    return rc
+
+
 def _render_loop(scene, win, state, rc, frames, windows, label,
                  substeps=None):
     """Sustained frame loop (device compute + tunnel DMA + PNG export
@@ -282,6 +302,14 @@ def phase_pool(n_target=1_000_000):
         "particles_lost": lost,
         "window_wy": win.wy,
         "window_interference": 0,
+        # the measured single-chip ceiling model (ARCHITECTURE.md "The
+        # single-chip ceiling, stated plainly"): slots/particle floor
+        # (~1.4) x the platform's per-live-slot VPU service rate
+        # (~2.2-3.4 ns, flat across scenes/shapes); 1e9 ps/s needs
+        # ~4-5 chips at the measured +12.5% sharding overhead
+        "single_chip_ceiling_ps_model": [2.5e8, 3.2e8],
+        "ns_per_live_slot": best_dt / iters / (
+            win.config.num_cells * scene.config.bin_capacity) * 1e9,
     }
 
     # the official headline: sustained 640x360 with PNG export, the frame
@@ -289,7 +317,7 @@ def phase_pool(n_target=1_000_000):
     # substeps with in-kernel splat emission + SSFR + u8 tonemap in ONE jit
     from mpm_tpu.render import Camera, RenderConfig
 
-    rc = RenderConfig(camera=Camera(width=640, height=360))
+    rc = _crop_rc(scene, RenderConfig(camera=Camera(width=640, height=360)))
     frames = 40
     substeps = scene.config.substeps  # 2, the reference flagship's rate
     state, loop_times, dev_times = _render_loop(scene, win, state, rc,
@@ -315,6 +343,7 @@ def phase_pool(n_target=1_000_000):
         "device_only_frame_ms": dev_ms,
         "device_frame_ms_windows": [round(t, 2) for t in dev_times],
         "render_resolution": "640x360",
+        "fluid_crop": list(rc.crop) if rc.crop else None,
         "particles_lost": lost2,
         "window_interference": 0,
     }]
@@ -324,19 +353,33 @@ def phase_1080p(n_target=1_000_000):
     """The reference's own resolution: 1920x1080, particle-quality
     watertight recipe (ARCHITECTURE.md "1080p recipes"); value = the
     device-bound rate (the tunnel's 1080p frame DMA is a harness artifact —
-    the reference displays locally)."""
-    from mpm_tpu.render import Camera, RenderConfig
+    the reference displays locally).
+
+    Round-5 recipe (scripts/render_roofline.py recipe study): R=8 dilation
+    (R=6 uncovers 1.35% of fluid pixels — not watertight) + refraction
+    downsample 4 (37.7 dB PSNR vs the exact dependent gather, bounded and
+    recorded in the JSON line; the exact-refraction frame is measured and
+    reported alongside)."""
+    from mpm_tpu.render import Camera, RenderConfig, SSFRParams
 
     scene, win, state, _ = _settled_pool(n_target)
     n = scene.config.num_particles
     substeps = scene.config.substeps
-    rc = RenderConfig(camera=Camera(width=1920, height=1080),
-                      quality="particle", max_radius_px=8)
+    rc = _crop_rc(scene, RenderConfig(
+        camera=Camera(width=1920, height=1080),
+        quality="particle", max_radius_px=8,
+        ssfr=SSFRParams(refraction_downsample=4)))
     frames = 10
     state, loop_times, dev_times = _render_loop(scene, win, state, rc,
                                                 frames, 2, "1080p")
     best, dev_ms = min(loop_times), min(dev_times)
     assert int(np.asarray(state.ceiling)) == 0
+    # the exact-refraction variant (reference-exact dependent gather),
+    # device-only: keeps the approximation honest in the artifact
+    rc_exact = _crop_rc(scene, RenderConfig(
+        camera=rc.camera, quality="particle", max_radius_px=8))
+    state, _, dev_exact = _render_loop(scene, win, state, rc_exact, 2, 1,
+                                       "1080p-exact")
     value_dev = substeps * n / (dev_ms / 1e3)
     dev_med = sorted(dev_times)[len(dev_times) // 2]
     return [{
@@ -351,7 +394,10 @@ def phase_1080p(n_target=1_000_000):
             (max(dev_times) - min(dev_times)) / dev_med * 100.0, 1),
         "sustained_with_export": frames * substeps * n / best,
         "render_resolution": "1920x1080",
-        "render_quality": "particle(r=8, watertight)",
+        "render_quality": "particle(r=8, watertight, refraction ds=4)",
+        "fluid_crop": list(rc.crop) if rc.crop else None,
+        "refraction_psnr_db_vs_exact": 37.7,  # scripts/render_roofline.py
+        "exact_refraction_frame_ms": min(dev_exact),
     }]
 
 

@@ -48,6 +48,18 @@ def _common(p):
     )
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--checkpoint-dir", default="/tmp/mpm_ckpt")
+    p.add_argument(
+        "--guard",
+        action="store_true",
+        help="failure detection for long runs (utils/guard.GuardedStep): "
+        "async on-device finiteness checks + verified-snapshot rollback "
+        "with dt backoff; the reference has no failure handling at all "
+        "(SURVEY.md §5)",
+    )
+    p.add_argument("--guard-snapshot-every", type=int, default=32,
+                   metavar="N", help="frames between rollback snapshots")
+    p.add_argument("--guard-check-every", type=int, default=8,
+                   metavar="N", help="frames between async finiteness checks")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
     p.add_argument(
         "--interact",
@@ -322,6 +334,13 @@ def cmd_run(args):
 
     metrics = MetricsLogger(path=args.metrics)
     stats = FrameStats()
+    if args.guard:
+        # production failure-detection policy (measured overhead in the
+        # GuardedStep docstring; defaults pinned by scripts/guard_overhead)
+        from .utils.guard import GuardedStep
+
+        step = GuardedStep(step, snapshot_every=args.guard_snapshot_every,
+                           check_every=args.guard_check_every)
     t0 = time.perf_counter()
     state = step(state, scene.fluid, inter0)
     fence(state)
@@ -349,6 +368,17 @@ def cmd_run(args):
             print(f"checkpointed {path}")
         stats.tick()
     fence(state)
+    if args.guard:
+        ok = step.flush()
+        if step.failures or not ok:
+            print(f"guard: {step.failures} rollback(s), "
+                  f"{step.frames_lost} frame(s) lost, "
+                  f"dt scale {step.current_dt_scale:g}")
+            if not ok:
+                state = step.last_good()
+        metrics.log("guard", failures=step.failures,
+                    frames_lost=step.frames_lost,
+                    dt_scale=step.current_dt_scale)
     s = stats.stats
     pps = n * substeps * s["fps"]
     print(
@@ -518,6 +548,17 @@ def cmd_render(args):
     else:
         def view_fn(frame):
             return view
+    if args.crop == "auto" and not camera_moves:
+        # static fluid crop: image-space SSFR passes run on the domain's
+        # projected rectangle only — value-preserving (tests/test_crop.py),
+        # so it silently no-ops for moving cameras / non-DEFAULT modes
+        from .render import domain_crop
+
+        rc = domain_crop(rc, scene.config, default_view(scene.config.grid_res))
+        if rc.crop:
+            y0, x0, ch, cw = rc.crop
+            print(f"fluid crop: {cw}x{ch}+{x0}+{y0} "
+                  f"({cw * ch / (cam.width * cam.height):.0%} of frame)")
     os.makedirs(args.out, exist_ok=True)
 
     cubemap = None
@@ -863,6 +904,15 @@ def main(argv=None):
     p_r.add_argument("--fly-sphere-strength", type=float, default=1.0,
                      help="steerable collider radial push strength "
                      "(reference: unit push, g2p.glsl:126-128)")
+    p_r.add_argument(
+        "--crop",
+        default="auto",
+        choices=["auto", "off"],
+        help="static fluid crop for fixed cameras: the SSFR image passes "
+        "(dilation, blur, shade, refraction) run on the simulation "
+        "domain's projected rectangle only — bit-exact frames "
+        "(render.pipeline.domain_crop); auto no-ops for moving cameras",
+    )
     p_r.add_argument(
         "--hud",
         action="store_true",

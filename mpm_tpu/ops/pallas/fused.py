@@ -929,6 +929,12 @@ def _fused_kernel(
             splat_o[1, :] = sel[1]
             splat_o[2, :] = jnp.where(found, dmin, _CELL_BG)
             splat_o[3, :] = sel[2]
+            # row 4: the cell's live on-screen particle COUNT — the
+            # thickness pass deposits count * 2r per cell (column mass at
+            # cell granularity), so the SSFR thickness splat rides this
+            # kernel instead of a 1M-element XLA scatter-add
+            # (render/splat.thickness_deposit; VERDICT r4 next #4)
+            splat_o[4, :] = jnp.sum(valid.astype(jnp.float32), axis=0)
 
 
 # ----------------------------------------------------------------- dispatch
@@ -1043,9 +1049,9 @@ def _g2p_migrate_fused(
     ]
     if emit_splats:
         out_specs.append(pl.BlockSpec(
-            (4, pc), lambda t: (0, jnp.maximum(t - 1, 0)),
+            (5, pc), lambda t: (0, jnp.maximum(t - 1, 0)),
             memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((4, c), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((5, c), jnp.float32))
     outs = pl.pallas_call(
         functools.partial(
             _fused_kernel, config=config, n_inter=n_inter, shard=shard,
@@ -1240,7 +1246,7 @@ def substep_fused_emit(
 ):
     """substep_fused + in-kernel per-cell splat emission (the reference's
     g2p render-texture write, g2p.glsl:149-150): returns (state, splats
-    [4, C]) with splats identical to
+    [5, C] — px, py, depth, |vel|, live count) with splats identical to
     render/extract_kernel.extract_cell_splats(state_after). Only valid for
     configs on the fused path (fused_supported and not 2D); frame loops
     fall back to the post-hoc extract kernel otherwise."""

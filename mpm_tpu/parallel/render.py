@@ -39,6 +39,7 @@ from ..core.params import FluidParams, SimConfig
 from ..render.pipeline import (
     RENDER_DEFAULT,
     RenderConfig,
+    _active_crop,
     _needs_velocity,
     frame_to_u8,
     render_frame_from_zbuffer,
@@ -84,6 +85,10 @@ def make_sharded_frame_step(
     cam = rc.camera
     with_vel = _needs_velocity(rc)
     with_thick = rc.ssfr.thickness_pass and rc.mode == RENDER_DEFAULT
+    # static fluid crop (camera.crop_for_aabb): per-shard z-buffers, the
+    # pmin/psum composites (LESS ICI traffic), and the SSFR chain all run
+    # on the crop rectangle
+    crop = _active_crop(rc)
 
     def substep_local(state, fp, interactions, rscals=None):
         ax = jax.lax.axis_index(axis)
@@ -140,7 +145,8 @@ def make_sharded_frame_step(
         )
         # per-shard z-buffer -> depth-min composite over the mesh: the
         # distributed z-test (step 3 of the module docstring)
-        d, key = zbuffer_cells(splats, cam, with_velocity=with_vel)
+        d, key = zbuffer_cells(splats, cam, with_velocity=with_vel,
+                               crop=crop)
         d = jax.lax.pmin(d, axis)
         outs = (state, d)
         if key is not None:
@@ -151,7 +157,8 @@ def make_sharded_frame_step(
             from ..render.splat import thickness_deposit
 
             tdep = thickness_deposit(
-                splats, cam, sphere_radius=rc.ssfr.particle_sphere_radius)
+                splats, cam, sphere_radius=rc.ssfr.particle_sphere_radius,
+                crop=crop)
             outs = outs + (jax.lax.psum(tdep, axis),)
         return outs
 

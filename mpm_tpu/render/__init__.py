@@ -8,6 +8,7 @@ from .pipeline import (
     RENDER_NONE,
     RENDER_VELOCITY_SPHERES,
     default_view,
+    domain_crop,
     make_bucket_renderer,
     make_renderer,
     render_frame,
@@ -24,6 +25,7 @@ __all__ = [
     "BackgroundScene",
     "look_at",
     "default_view",
+    "domain_crop",
     "make_bucket_renderer",
     "make_renderer",
     "render_frame",

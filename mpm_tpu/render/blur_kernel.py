@@ -129,15 +129,21 @@ def _block(n: int, quantum: int, hi: int) -> int:
     return best
 
 
-def blur_supported(cam: Camera) -> bool:
+def blur_shape_supported(h: int, w: int) -> bool:
     """Lane dim must be 128-divisible; per-block VMEM is a few MB (grid
-    tiling), so any sane camera fits — keep a generous whole-column guard
-    for the Y pass (its block spans all rows)."""
-    if cam.width % 128 != 0:
+    tiling), so any sane image fits — keep a generous whole-column guard
+    for the Y pass (its block spans all rows). Takes the BUFFER shape, not
+    the camera: a static fluid crop (camera.crop_for_aabb) blurs a
+    sub-rectangle of the frame."""
+    if w % 128 != 0:
         return False
     ypad = -((100 + 1) // -8) * 8
-    yblock = (cam.height + 2 * ypad) * 128 * 4
+    yblock = (h + 2 * ypad) * 128 * 4
     return 6 * yblock <= 100 * 2**20
+
+
+def blur_supported(cam: Camera) -> bool:
+    return blur_shape_supported(cam.height, cam.width)
 
 
 @functools.partial(

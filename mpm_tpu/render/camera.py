@@ -74,26 +74,88 @@ def view_to_screen(view_pos: jax.Array, cam: Camera):
     return px, py, depth
 
 
-def screen_to_view_dir(cam: Camera) -> jax.Array:
-    """Per-pixel unit ray direction in view space, [H, W, 3]."""
+def screen_to_view_dir(cam: Camera, crop=None) -> jax.Array:
+    """Per-pixel unit ray direction in view space, [H, W, 3]. `crop` =
+    (y0, x0, ch, cw): rays for that static sub-rectangle only (pixel
+    centers keep their FULL-frame coordinates — a crop changes which rays
+    are computed, never their directions)."""
     f = cam.focal_px
-    xs = (jnp.arange(cam.width, dtype=jnp.float32) + 0.5 - cam.width / 2.0) / f
-    ys = -(jnp.arange(cam.height, dtype=jnp.float32) + 0.5 - cam.height / 2.0) / f
+    y0, x0, h, w = crop if crop is not None else (0, 0, cam.height, cam.width)
+    xs = (jnp.arange(w, dtype=jnp.float32) + (0.5 + x0) - cam.width / 2.0) / f
+    ys = -(jnp.arange(h, dtype=jnp.float32) + (0.5 + y0) - cam.height / 2.0) / f
     xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
     d = jnp.stack([xg, yg, -jnp.ones_like(xg)], axis=-1)
     return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
 
 
-def view_pos_from_depth(cam: Camera, linear_depth: jax.Array) -> jax.Array:
+def view_pos_from_depth(cam: Camera, linear_depth: jax.Array,
+                        crop=None) -> jax.Array:
     """Reconstruct view-space position from per-pixel linear depth [H, W]
     (the reference reconstructs from uv + linear depth,
-    fluid_render_fixed_depth.glsl:54-69)."""
+    fluid_render_fixed_depth.glsl:54-69). `crop` = (y0, x0, ch, cw) when
+    `linear_depth` is a static sub-rectangle of the frame."""
     f = cam.focal_px
-    xs = (jnp.arange(cam.width, dtype=jnp.float32) + 0.5 - cam.width / 2.0) / f
-    ys = -(jnp.arange(cam.height, dtype=jnp.float32) + 0.5 - cam.height / 2.0) / f
+    h, w = linear_depth.shape
+    y0, x0 = (crop[0], crop[1]) if crop is not None else (0, 0)
+    xs = (jnp.arange(w, dtype=jnp.float32) + (0.5 + x0) - cam.width / 2.0) / f
+    ys = -(jnp.arange(h, dtype=jnp.float32) + (0.5 + y0) - cam.height / 2.0) / f
     xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
     z = -linear_depth
     return jnp.stack([xg * linear_depth, yg * linear_depth, z], axis=-1)
+
+
+def crop_for_aabb(
+    cam: Camera,
+    view: np.ndarray,  # [4, 4] world->view (host numpy; static cameras only)
+    lo,  # world AABB min corner (e.g. (0, 0, 0))
+    hi,  # world AABB max corner (e.g. SimConfig.dres)
+    margin: int = 16,  # >= dilation max_radius_px + a few px (normals roll)
+    align_x: int = 128,  # lane alignment (Pallas blur needs cw % 128 == 0)
+    align_y: int = 8,  # sublane alignment
+):
+    """Conservative static screen crop (y0, x0, ch, cw) of a world AABB, or
+    None when cropping buys nothing (projection covers the frame) or is
+    unsafe (a corner at/behind the near plane — the camera is inside or
+    clipping the box, so the corner-hull bound no longer contains the
+    projection).
+
+    Central projection maps the AABB into the convex hull of its projected
+    corners whenever the whole box is strictly in front of the camera, so
+    the corner bbox + margin bounds every splat CENTER pixel; the margin
+    then covers the sphere-impostor dilation radius and the normals' 1-px
+    neighborhood. Fluid positions are clamped to the domain (SimConfig.dres
+    — the physics extent, CLAUDE.md invariants), so the domain AABB is a
+    sound bound for any scene/dynamics under a static camera. The image-
+    space SSFR passes (dilation O(R^2), blur, shade+refraction) then run on
+    the crop only — at the official bench camera the 64^3 domain projects
+    to 43% of the 1080p frame (ARCHITECTURE.md "Render roofline")."""
+    view = np.asarray(view, np.float32)
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    corners = np.array(
+        [[c[0], c[1], c[2]] for c in
+         ((x, y, z) for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
+          for z in (lo[2], hi[2]))], np.float32)
+    v = view[:3, :3] @ corners.T + view[:3, 3][:, None]
+    depth = -v[2]
+    if float(depth.min()) <= max(cam.near, 1e-3) * 2.0:
+        return None
+    f = cam.focal_px
+    px = cam.width / 2.0 + f * v[0] / depth
+    py = cam.height / 2.0 - f * v[1] / depth
+    x0 = max(0, int(np.floor(px.min())) - margin)
+    x1 = min(cam.width, int(np.ceil(px.max())) + margin)
+    y0 = max(0, int(np.floor(py.min())) - margin)
+    y1 = min(cam.height, int(np.ceil(py.max())) + margin)
+    if x1 <= x0 or y1 <= y0:  # box fully offscreen: nothing to crop to
+        return None
+    cw = min(cam.width, -((x1 - x0) // -align_x) * align_x)
+    x0 = max(0, min(x0, cam.width - cw))
+    ch = min(cam.height, -((y1 - y0) // -align_y) * align_y)
+    y0 = max(0, min(y0, cam.height - ch))
+    if cw >= cam.width and ch >= cam.height:
+        return None
+    return (y0, x0, ch, cw)
 
 
 def ndc_depth_to_linear(ndc_depth: jax.Array, cam: Camera) -> jax.Array:

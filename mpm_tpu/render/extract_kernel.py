@@ -5,7 +5,7 @@ The XLA extract path (reshape + mask + norm over every slot, then a
 at 1M particles — XLA elementwise streams ~6 GB/s on this platform and
 per-element gathers are serial (ARCHITECTURE.md). This kernel runs ONE
 plane sweep over the bucket arrays doing projection + velocity magnitude +
-a per-cell nearest-particle reduction in VMEM, emitting 4 floats per CELL
+a per-cell nearest-particle reduction in VMEM, emitting 5 floats per CELL
 instead of per SLOT — the downstream z-buffer sort shrinks by K and feeds
 from pallas-rate DMA instead of XLA gathers.
 
@@ -74,6 +74,9 @@ def _extract_kernel(pos_ref, vel_ref, mass_ref, scal_ref, out_ref, *, pc: int):
     out_ref[1, :] = sel[1]
     out_ref[2, :] = jnp.where(found, dmin, CELL_BG)
     out_ref[3, :] = sel[2]
+    # row 4: live on-screen count (thickness deposits = count * 2r;
+    # matches the in-kernel emission, ops/pallas/fused._emit_splats)
+    out_ref[4, :] = jnp.sum(valid.astype(f32), axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "interpret"))
@@ -83,8 +86,8 @@ def extract_cell_splats(
     cam: Camera,
     interpret: bool = False,
 ) -> jax.Array:
-    """[4, C]: (pixel x, pixel y, linear depth, |vel|) of each cell's
-    nearest live particle; depth == CELL_BG marks empty cells."""
+    """[5, C]: (pixel x, pixel y, linear depth, |vel|, live count) of each
+    cell's nearest live particle; depth == CELL_BG marks empty cells."""
     dim, k, c = state.pos.shape
     assert dim == 3
     # plane blocking keeps blocks 128-aligned for any grid (c % 128 == 0
@@ -119,9 +122,9 @@ def extract_cell_splats(
             in_blk(()),
             pl.BlockSpec((16,), lambda t: (0,), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((4, blk), lambda t: (0, t),
+        out_specs=pl.BlockSpec((5, blk), lambda t: (0, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((4, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((5, c), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024

@@ -60,6 +60,16 @@ class RenderConfig:
     # raster (multi_mesh/billboard_sphere.gdshader:13-88 resolves occlusion
     # per pixel across all instances). ~K x more scatter work.
     quality: str = "cell"
+    # Static fluid crop (y0, x0, ch, cw) — camera.crop_for_aabb over the
+    # simulation domain: the image-space SSFR passes (dilation O(R^2),
+    # blur, shade + refraction gather) run on the crop only, and the shaded
+    # crop composites back over the full background. Value-preserving by
+    # construction (the domain bound + margin covers every fluid pixel);
+    # the bench camera's 64^3 domain projects to 43% of the 1080p frame.
+    # Static cameras only (the rect depends on the view); None = full frame.
+    # Applied on the DEFAULT-mode bucket path (the production chain);
+    # debug/velocity/lit modes ignore it.
+    crop: tuple[int, int, int, int] | None = None
 
 
 def render_frame(
@@ -162,12 +172,22 @@ def render_frame_buckets(
             sphere_radius=rc.ssfr.particle_sphere_radius,
             max_radius_px=rc.max_radius_px)
 
+    tcells = None
     if rc.quality == "particle":
         cells = extract_slot_splats(state, view, cam)
+        if rc.ssfr.thickness_pass and rc.mode == RENDER_DEFAULT:
+            # the thickness deposit is ADDITIVE and blurred, so it rides
+            # count-weighted CELL-granularity splats (K× fewer scatter
+            # rows; exact per-particle material either way) — the per-SLOT
+            # scatter measured +13.4 ms/frame at 1080p
+            # (scripts/render_roofline.py, round 5)
+            tcells = extract_cell_splats(state, view, cam,
+                                         interpret=interpret)
     else:
         cells = extract_cell_splats(state, view, cam, interpret=interpret)
     return render_frame_cells(cells, view, rc, cubemap_faces=cubemap_faces,
-                              bg=(bg_color, bg_depth))
+                              bg=(bg_color, bg_depth),
+                              thickness_cells=tcells)
 
 
 def _needs_velocity(rc: RenderConfig) -> bool:
@@ -176,12 +196,24 @@ def _needs_velocity(rc: RenderConfig) -> bool:
     return rc.mode in (RENDER_VELOCITY_SPHERES, RENDER_LIT_SPHERES)
 
 
+def _active_crop(rc: RenderConfig):
+    """The fluid crop applies to the production DEFAULT chain only — the
+    debug/velocity/lit modes composite full-frame buffers directly."""
+    if rc.mode != RENDER_DEFAULT or rc.ssfr.debug_draw_depth:
+        return None
+    return rc.crop
+
+
 def _frame_from_bufs(bufs, view, rc: RenderConfig, bg_color, bg_depth,
-                     cubemap_faces=None, thickness_deposits=None) -> jax.Array:
+                     cubemap_faces=None, thickness_deposits=None,
+                     crop=None) -> jax.Array:
     """The mode chain from SplatBuffers on (shared by the cell, zbuffer,
     and distributed-composite entry points). `thickness_deposits`: raw
     additive thickness buffer (splat.thickness_deposit) when the thickness
-    pass is on; None shades with the reference's constant uniform."""
+    pass is on; None shades with the reference's constant uniform. `crop`:
+    the static fluid crop the buffers were built with (_active_crop(rc)) —
+    blur/shade run crop-sized and the shaded crop composites back over the
+    full background."""
     from .ssfr import thickness_map
 
     cam = rc.camera
@@ -208,17 +240,24 @@ def _frame_from_bufs(bufs, view, rc: RenderConfig, bg_color, bg_depth,
             if thickness_deposits is not None else None)
     color, _live = shade(
         depth, bg_color, bg_depth, sampler, view[:3, :3], rc.ssfr, cam,
-        thickness=tmap,
+        thickness=tmap, crop=crop,
     )
+    if crop is not None:
+        # outside the crop the DEFAULT chain is background by construction
+        # (no fluid there — camera.crop_for_aabb is conservative)
+        color = jax.lax.dynamic_update_slice(
+            bg_color, color, (crop[0], crop[1], 0))
     return color
 
 
 def render_frame_cells(
-    cells: jax.Array,  # [4, M] (px, py, depth, |vel|) splat points
+    cells: jax.Array,  # [5, M] (px, py, depth, |vel|, count) splat points
     view: jax.Array,
     rc: RenderConfig,
     cubemap_faces: jax.Array | None = None,
     bg: tuple[jax.Array, jax.Array] | None = None,
+    thickness_cells: jax.Array | None = None,  # cheaper cell-granularity
+    # splats for the additive thickness deposit (defaults to `cells`)
 ) -> jax.Array:
     """The SSFR chain from extracted splat points on: used by
     render_frame_buckets and by frame loops that receive the splats straight
@@ -230,6 +269,7 @@ def render_frame_cells(
     bg_color, bg_depth = (
         bg if bg is not None else render_background(cam, view, rc.background)
     )
+    crop = _active_crop(rc)
     bufs = splat_cells(
         cells,
         cam,
@@ -237,16 +277,18 @@ def render_frame_cells(
         max_radius_px=rc.max_radius_px,
         with_normals=rc.mode == RENDER_LIT_SPHERES,
         with_velocity=_needs_velocity(rc),
+        crop=crop,
     )
     tdep = None
     if rc.ssfr.thickness_pass and rc.mode == RENDER_DEFAULT:
         from .splat import thickness_deposit
 
         tdep = thickness_deposit(
-            cells, cam, sphere_radius=rc.ssfr.particle_sphere_radius)
+            cells if thickness_cells is None else thickness_cells,
+            cam, sphere_radius=rc.ssfr.particle_sphere_radius, crop=crop)
     return _frame_from_bufs(bufs, view, rc, bg_color, bg_depth,
                             cubemap_faces=cubemap_faces,
-                            thickness_deposits=tdep)
+                            thickness_deposits=tdep, crop=crop)
 
 
 def render_frame_from_zbuffer(
@@ -262,7 +304,9 @@ def render_frame_from_zbuffer(
 ) -> jax.Array:
     """The SSFR chain from a (possibly mesh-composited) raw z-buffer on —
     the distributed render path (parallel/render.py) pmin-composites the
-    per-shard z-buffers and finishes the frame here."""
+    per-shard z-buffers and finishes the frame here. When rc.crop is
+    active, `d`/`key`/`thickness_deposits` must already be crop-sized (the
+    producer passed the same _active_crop(rc) to zbuffer_cells)."""
     from .splat import buffers_from_zbuffer
 
     cam = rc.camera
@@ -280,7 +324,8 @@ def render_frame_from_zbuffer(
     )
     return _frame_from_bufs(bufs, view, rc, bg_color, bg_depth,
                             cubemap_faces=cubemap_faces,
-                            thickness_deposits=thickness_deposits)
+                            thickness_deposits=thickness_deposits,
+                            crop=_active_crop(rc))
 
 
 def emitting_frame_fn(config, cam: Camera, substeps: int,
@@ -339,6 +384,25 @@ def make_bucket_renderer(rc: RenderConfig, interpret: bool = False) -> Callable:
     return jax.jit(
         partial(render_frame_buckets, rc=rc, interpret=interpret)
     )
+
+
+def domain_crop(rc: RenderConfig, config, view) -> RenderConfig:
+    """RenderConfig with the static fluid crop for `config`'s simulation
+    domain under a STATIC `view` (camera.crop_for_aabb): physics clamps
+    positions to SimConfig.dres, so the domain AABB + dilation margin
+    conservatively bounds every fluid pixel for any dynamics. Returns rc
+    unchanged when cropping buys nothing (the projection covers the frame,
+    the camera is inside the box, or a non-DEFAULT mode)."""
+    import dataclasses as _dc
+
+    from .camera import crop_for_aabb
+
+    if rc.mode != RENDER_DEFAULT:
+        return rc
+    crop = crop_for_aabb(
+        rc.camera, np.asarray(view), (0.0,) * len(config.dres), config.dres,
+        margin=rc.max_radius_px + 8)
+    return rc if crop is None else _dc.replace(rc, crop=crop)
 
 
 def background_for_view(rc: RenderConfig, view: jax.Array):

@@ -42,12 +42,14 @@ class SplatBuffers(NamedTuple):
 
 
 def extract_slot_splats(state, view: jax.Array, cam: Camera) -> jax.Array:
-    """[4, K*C]: (pixel x, pixel y, linear depth, |vel|) of EVERY live slot
-    of a BucketState — the full-fidelity input to splat_cells (per-particle
-    z-buffering, RenderConfig.quality="particle"). Pure elementwise XLA:
-    unlike extract_kernel.extract_cell_splats there is no per-cell reduce,
-    so no Pallas kernel is needed. Empty/behind-camera slots get depth
-    CELL_BG (the splat_cells mask sentinel)."""
+    """[5, K*C]: (pixel x, pixel y, linear depth, |vel|, live count) of
+    EVERY live slot of a BucketState — the full-fidelity input to
+    splat_cells (per-particle z-buffering, RenderConfig.quality="particle";
+    count is 1 per live slot, matching the cell path's per-cell count).
+    Pure elementwise XLA: unlike extract_kernel.extract_cell_splats there
+    is no per-cell reduce, so no Pallas kernel is needed. Empty/
+    behind-camera slots get depth CELL_BG (the splat_cells mask
+    sentinel)."""
     from .extract_kernel import CELL_BG
 
     pos = state.pos.reshape(3, -1)
@@ -58,7 +60,8 @@ def extract_slot_splats(state, view: jax.Array, cam: Camera) -> jax.Array:
     vmag = jnp.sqrt(vel[0] ** 2 + vel[1] ** 2 + vel[2] ** 2)
     valid = occ & (depth > cam.near)
     return jnp.stack(
-        [px, py, jnp.where(valid, depth, CELL_BG), vmag])
+        [px, py, jnp.where(valid, depth, CELL_BG), vmag,
+         valid.astype(jnp.float32)])
 
 
 def _point_deposit(
@@ -108,16 +111,31 @@ def _dilate_spheres(
     (depth_map.gdshader:63-84), via bounded shifted-window mins. With
     `with_normals`, the covering sphere's local offsets (sx, sy) are
     tracked per pixel for the lit-sphere debug view
-    (billboard_sphere.gdshader:46-66)."""
-    h, w = cam.height, cam.width
+    (billboard_sphere.gdshader:46-66). Shape comes from the buffers, not
+    the camera: a static fluid crop (camera.crop_for_aabb) dilates a
+    sub-rectangle — O(R^2) image-space work scales with its area."""
+    h, w = bufs.depth.shape
     f = cam.focal_px
-    pad = max_radius_px
+    pad = max(max_radius_px, 1)
     d0 = jnp.pad(bufs.depth, pad, constant_values=BG_DEPTH)
     v0 = jnp.pad(bufs.velocity, pad)
-    # disc radius in pixels at the source particle's depth
-    r_px0 = f * sphere_radius / jnp.maximum(bufs.depth, 1e-3)
-    r_px0 = jnp.where(bufs.depth < BG_DEPTH, jnp.minimum(r_px0, max_radius_px), 0.0)
-    r0 = jnp.pad(r_px0, pad)
+    # Factored tap math (round 5, scripts/render_roofline.py): the
+    # per-tap candidate  src_d - r*sqrt(1 - s^2)  with
+    # s^2 = c / r_px^2, r_px = min(f*r/z, R), c = dx^2 + dy^2 rewrites to
+    #     cand = src_d - sqrt(max(r^2 - c * Q, 0)),
+    #     Q = max((z/f)^2, (r/R)^2)        [one image, hoisted]
+    # which is the SAME math with one per-source image instead of per-tap
+    # radius/inv_r/s2 work — and the separate occupancy check vanishes: an
+    # empty source has z = BG_DEPTH -> Q huge -> t < 0 -> no candidate,
+    # the same branch that masks out-of-disc taps. ~10 -> ~7 vector ops
+    # per tap (288 taps at R=8/1080p).
+    r2 = sphere_radius * sphere_radius
+    q_clamp = r2 / float(max_radius_px * max_radius_px) if max_radius_px else 1.0
+    q = jnp.maximum((bufs.depth / f) ** 2, q_clamp)
+    # explicit inf for empty sources: (BG_DEPTH/f)^2 alone only masks while
+    # BG_DEPTH > r*f — not guaranteed for long-focal cameras
+    q = jnp.where(bufs.depth < BG_DEPTH, q, jnp.inf)
+    q0 = jnp.pad(q, pad, constant_values=jnp.inf)
 
     # center pixels: their own sphere pole (normal straight at the camera)
     center = bufs.depth < BG_DEPTH
@@ -125,18 +143,22 @@ def _dilate_spheres(
     best_v = bufs.velocity
     zeros = jnp.zeros_like(bufs.depth)
     best_sx, best_sy = zeros, zeros
+    if with_normals:
+        # sphere-local offset scale: s = sqrt(c) * sqrt(Q) / r per source
+        sq0 = jnp.sqrt(q0) * (1.0 / sphere_radius)
     for dy in range(-max_radius_px, max_radius_px + 1):
         for dx in range(-max_radius_px, max_radius_px + 1):
             if dx == 0 and dy == 0:
                 continue
+            c = float(dx * dx + dy * dy)
             src_d = jax.lax.dynamic_slice(d0, (pad - dy, pad - dx), (h, w))
-            src_r = jax.lax.dynamic_slice(r0, (pad - dy, pad - dx), (h, w))
-            inv_r = 1.0 / jnp.maximum(src_r, 1e-3)
-            s2 = (dx * dx + dy * dy) * inv_r * inv_r
-            inside = s2 <= 1.0
-            # analytic sphere surface: z closer by r*sqrt(1-s^2)
-            cand = src_d - sphere_radius * jnp.sqrt(jnp.maximum(1.0 - s2, 0.0))
-            cand = jnp.where(inside & (src_d < BG_DEPTH), cand, BG_DEPTH)
+            src_q = jax.lax.dynamic_slice(q0, (pad - dy, pad - dx), (h, w))
+            t = r2 - c * src_q
+            # t < 0: the tap is outside the source's disc — no candidate
+            # (an uncorrected src_d must NOT win: discs, not squares)
+            cand = jnp.where(t >= 0.0,
+                             src_d - jnp.sqrt(jnp.maximum(t, 0.0)),
+                             BG_DEPTH)
             take = cand < best_d
             best_d = jnp.where(take, cand, best_d)
             if with_velocity:
@@ -144,20 +166,26 @@ def _dilate_spheres(
                     v0, (pad - dy, pad - dx), (h, w))
                 best_v = jnp.where(take, src_v, best_v)
             if with_normals:
-                best_sx = jnp.where(take, dx * inv_r, best_sx)
-                best_sy = jnp.where(take, dy * inv_r, best_sy)
+                src_sq = jax.lax.dynamic_slice(
+                    sq0, (pad - dy, pad - dx), (h, w))
+                best_sx = jnp.where(take, dx * src_sq, best_sx)
+                best_sy = jnp.where(take, dy * src_sq, best_sy)
     if not with_normals:
         return SplatBuffers(depth=best_d, velocity=best_v)
     return SplatBuffers(depth=best_d, velocity=best_v, sx=best_sx, sy=best_sy)
 
 
 def zbuffer_cells(
-    cells: jax.Array,  # [4, M] (px, py, depth, |vel|) splat points
+    cells: jax.Array,  # [>=4, M] rows (px, py, depth, |vel|[, count...])
     cam: Camera,
     with_velocity: bool = True,
+    crop=None,  # (y0, x0, ch, cw) static fluid crop (camera.crop_for_aabb)
 ):
     """The pre-dilation z-buffer: scatter-min depth [H, W] (BG_DEPTH where
     empty) and, with velocity, the packed attribution key [H, W] int32.
+    With `crop`, buffers are the crop rectangle ([ch, cw]); splats outside
+    it are dropped, so the crop MUST be conservative — crop_for_aabb over
+    the simulation domain guarantees every splat center lands inside.
 
     Exposed separately from splat_cells because BOTH are pure mins — the
     distributed render composite (parallel/render.py) runs this per shard
@@ -168,10 +196,11 @@ def zbuffer_cells(
     on the composited buffers."""
     from .extract_kernel import CELL_BG
 
-    h, w = cam.height, cam.width
+    y0, x0, h, w = (crop if crop is not None
+                    else (0, 0, cam.height, cam.width))
     px, py, depth, vel = cells[0], cells[1], cells[2], cells[3]
-    ix = jnp.floor(px).astype(jnp.int32)
-    iy = jnp.floor(py).astype(jnp.int32)
+    ix = jnp.floor(px).astype(jnp.int32) - x0
+    iy = jnp.floor(py).astype(jnp.int32) - y0
     on = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (depth < CELL_BG)
     pix = jnp.where(on, iy * w + ix, h * w)  # offscreen -> guard slot
 
@@ -225,12 +254,13 @@ def buffers_from_zbuffer(
 
 
 def splat_cells(
-    cells: jax.Array,  # [4, C] from extract_kernel.extract_cell_splats
+    cells: jax.Array,  # [5, C] from extract_kernel.extract_cell_splats
     cam: Camera,
     sphere_radius: float = 1.0,
     max_radius_px: int = 6,
     with_normals: bool = False,
     with_velocity: bool = True,
+    crop=None,  # (y0, x0, ch, cw) static fluid crop (camera.crop_for_aabb)
 ) -> SplatBuffers:
     """z-buffer + sphere dilation over per-CELL splat points (the fast path
     for bucket-state renders; see extract_kernel.py).
@@ -242,22 +272,40 @@ def splat_cells(
     the exact depth winner within ~2^-11 relative depth, which is
     invisible in the velocity coloring (depth_map.gdshader:87 divides by
     10 for display)."""
-    d, key = zbuffer_cells(cells, cam, with_velocity=with_velocity)
+    d, key = zbuffer_cells(cells, cam, with_velocity=with_velocity,
+                           crop=crop)
     return buffers_from_zbuffer(d, key, cam, sphere_radius, max_radius_px,
                                 with_normals=with_normals,
                                 with_velocity=with_velocity)
 
 
 def thickness_deposit(
-    cells: jax.Array,  # [4, M] (px, py, depth, |vel|) splat points
+    cells: jax.Array,  # [5, M] (px, py, depth, |vel|, count) splat points
     cam: Camera,
     sphere_radius: float = 1.0,
+    crop=None,  # (y0, x0, ch, cw) static fluid crop (camera.crop_for_aabb)
 ) -> jax.Array:
-    """ADDITIVE thickness splat [H, W]: every live splat deposits its
+    """ADDITIVE thickness splat [H, W]: every live particle deposits its
     material thickness (2r, the chord through a sphere's center) at its
-    center pixel; occluded splats deposit too, so a pixel's total is the
-    material column behind it in world units. A small normalized blur
-    (ssfr.gaussian_blur) then spreads each deposit over its disc footprint.
+    cell's center pixel — cells carry their live COUNT (row 4, emitted
+    in-kernel by the fused step / the extraction kernel), so the scatter
+    is over CELLS (~230k at 1M) while the deposited material is exact
+    per-particle (count * 2r); occluded particles deposit too, so a
+    pixel's total is the material column behind it in world units. A small
+    normalized blur (ssfr.gaussian_blur) then spreads each deposit over
+    its disc footprint. (Round 5: the count row replaced a 1M-element
+    per-slot scatter-add measured at +13.5 ms/frame at 1080p —
+    scripts/render_roofline.py; VERDICT r4 next #4.)
+
+    Units (round 5): the deposit is weighted by the projected cell
+    footprint — weight = count * 2r * (f/z)^2, the cell's material column
+    times the pixel area its 1-world-unit footprint covers — so after the
+    area-preserving blur spreads each point deposit over its local
+    neighborhood, the per-pixel value approximates the WORLD-UNITS
+    material column along the ray, independent of image resolution and
+    zoom (the round-4 unweighted deposit read 9x brighter at 640x360 than
+    at 1080p). tests/test_thickness.py pins it against an analytic
+    lattice column.
 
     This is the SSFR-canonical thickness pass the reference SKIPPED
     ("Step 2: get fluid depth (didn't have time for that)",
@@ -269,16 +317,19 @@ def thickness_deposit(
     of per-shard deposits (parallel/render.py), mirroring the depth pmin."""
     from .extract_kernel import CELL_BG
 
-    h, w = cam.height, cam.width
-    px, py, depth = cells[0], cells[1], cells[2]
-    ix = jnp.floor(px).astype(jnp.int32)
-    iy = jnp.floor(py).astype(jnp.int32)
+    y0, x0, h, w = (crop if crop is not None
+                    else (0, 0, cam.height, cam.width))
+    px, py, depth, count = cells[0], cells[1], cells[2], cells[4]
+    ix = jnp.floor(px).astype(jnp.int32) - x0
+    iy = jnp.floor(py).astype(jnp.int32) - y0
     on = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (depth < CELL_BG)
     pix = jnp.where(on, iy * w + ix, h * w)  # offscreen -> guard slot
+    fz = cam.focal_px / jnp.maximum(depth, 1e-3)
+    area_px = fz * fz  # projected 1-world-unit cell footprint, in pixels^2
     t_img = (
         jnp.zeros((h * w + 1,), jnp.float32)
         .at[pix]
-        .add(jnp.where(on, 2.0 * sphere_radius, 0.0))
+        .add(jnp.where(on, 2.0 * sphere_radius * count * area_px, 0.0))
     )
     return t_img[: h * w].reshape(h, w)
 

@@ -67,10 +67,13 @@ class SSFRParams:
     # material thickness (splat.thickness_deposit, blurred) feeds Beer's
     # law and the refraction offset; `thickness` then acts as the minimum.
     thickness_pass: bool = False
-    thickness_scale: float = 0.35  # world thickness units -> the scale the
+    thickness_scale: float = 0.05  # world thickness units -> the scale the
     # reference's tunables (optical_density, refraction_strength) were
-    # balanced for at thickness=1; with ~10-40 cells of material the raw
-    # column is far thicker than 1
+    # balanced for at thickness=1; the deposit is now RESOLUTION-
+    # INDEPENDENT world column length (splat.thickness_deposit normalizes
+    # by the projected cell footprint; round 5), and a typical pool column
+    # is 10-40 world units — 0.05 maps it into the ~0.5-2 range the
+    # reference's Beer's-law constants expect
     thickness_blur_radius: int = 6  # normalized Gaussian antialias of the
     # deposits (spreads each point deposit over its disc footprint)
     # Refraction-sample stride. The refracted-background fetch
@@ -141,9 +144,9 @@ def blur_depth(depth: jax.Array, params: SSFRParams, cam: Camera) -> jax.Array:
     if not params.depth_blur_enabled:
         return depth
     if params.use_pallas_blur and jax.default_backend() not in ("cpu",):
-        from .blur_kernel import blur_depth_pallas, blur_supported
+        from .blur_kernel import blur_depth_pallas, blur_shape_supported
 
-        if blur_supported(cam):
+        if blur_shape_supported(*depth.shape):
             # full reference fidelity: the VMEM-resident kernel affords the
             # true depth-adaptive radius up to max_filter_size (the XLA path
             # below caps at blur_tap_radius=12 — round-1/2 Weak item)
@@ -196,10 +199,13 @@ def thickness_map(
     return jnp.maximum(params.thickness, params.thickness_scale * t)
 
 
-def reconstruct_normals(depth: jax.Array, cam: Camera) -> jax.Array:
+def reconstruct_normals(depth: jax.Array, cam: Camera, crop=None) -> jax.Array:
     """View-space normals from min-magnitude depth differences
-    (fluid_render_fixed_depth.glsl:103-119)."""
-    vpos = view_pos_from_depth(cam, depth)  # [H, W, 3]
+    (fluid_render_fixed_depth.glsl:103-119). `crop` = (y0, x0, ch, cw) when
+    `depth` is a static fluid crop of the frame (camera.crop_for_aabb); the
+    roll-wrap at crop edges only touches pixels the crop margin guarantees
+    are not fluid."""
+    vpos = view_pos_from_depth(cam, depth, crop=crop)  # [H, W, 3]
 
     def diff(arr, axis, sign):
         shifted = jnp.roll(arr, -sign, axis=axis)
@@ -224,22 +230,36 @@ def reconstruct_normals(depth: jax.Array, cam: Camera) -> jax.Array:
 
 
 def shade(
-    fluid_depth: jax.Array,  # [H, W] blurred linear depth
-    bg_color: jax.Array,  # [H, W, 3]
-    bg_depth: jax.Array,  # [H, W] linear depth of background scene
+    fluid_depth: jax.Array,  # [H, W] blurred linear depth (crop-sized
+    # when `crop` is set)
+    bg_color: jax.Array,  # [H, W, 3] — always the FULL frame (the
+    # refraction gather may sample outside the crop)
+    bg_depth: jax.Array,  # [H, W] linear depth of background scene (full)
     cubemap_sample,  # callable dirs [..,3](view) -> [..,3] rgb
     view_rot: jax.Array,  # [3,3] world->view rotation (to rotate dirs back)
     params: SSFRParams,
     cam: Camera,
     thickness: jax.Array | None = None,  # [H, W] per-pixel thickness map
     # (ssfr.thickness_map); None = the reference's constant uniform
+    crop=None,  # (y0, x0, ch, cw) static fluid crop (camera.crop_for_aabb):
+    # fluid_depth/thickness are crop-sized, per-pixel shading work runs on
+    # the crop only, and the returned color is crop-sized (the caller
+    # composites it back into the full background)
 ):
     """The fluid_render_fixed_depth pass (fluid_render_fixed_depth.glsl:52-153).
-    Returns (color [H,W,3], mask [H,W])."""
-    live = (fluid_depth <= FAR_GUARD) & (bg_depth >= fluid_depth)
+    Returns (color [H,W,3], mask [H,W]) — crop-sized under `crop`."""
+    if crop is not None:
+        y0c, x0c, chc, cwc = crop
+        bg_depth_c = jax.lax.slice(
+            bg_depth, (y0c, x0c), (y0c + chc, x0c + cwc))
+        bg_color_c = jax.lax.slice(
+            bg_color, (y0c, x0c, 0), (y0c + chc, x0c + cwc, 3))
+    else:
+        bg_depth_c, bg_color_c = bg_depth, bg_color
+    live = (fluid_depth <= FAR_GUARD) & (bg_depth_c >= fluid_depth)
 
-    normal = reconstruct_normals(fluid_depth, cam)
-    ray_dir = screen_to_view_dir(cam)  # [H, W, 3] unit, view space
+    normal = reconstruct_normals(fluid_depth, cam, crop=crop)
+    ray_dir = screen_to_view_dir(cam, crop=crop)  # [H, W, 3] unit, view space
 
     # light dir into view space (main_camera.gd pulls the scene light into
     # the effect, main_camera.gd:54-62); reference convention: light_dir
@@ -278,17 +298,28 @@ def shade(
         uv_off = refr_dir[..., :2] * (
             thickness[..., None] * params.refraction_strength
         )
-    xs = jnp.arange(w, dtype=fluid_depth.dtype)
-    ys = jnp.arange(h, dtype=fluid_depth.dtype)
+    # pixel coordinates and uv-offset scale stay in FULL-frame terms (the
+    # reference's uv is [0,1] of the frame); a crop only changes WHICH
+    # pixels are shaded, never the refraction geometry
+    fw, fh = cam.width, cam.height
+    y0c, x0c = (crop[0], crop[1]) if crop is not None else (0, 0)
+    xs = jnp.arange(w, dtype=fluid_depth.dtype) + fluid_depth.dtype.type(x0c)
+    ys = jnp.arange(h, dtype=fluid_depth.dtype) + fluid_depth.dtype.type(y0c)
     xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
     # uv in [0,1] with y flipped like screen storage
-    sx = jnp.clip(xg + uv_off[..., 0] * w, 0, w - 1).astype(jnp.int32)
-    sy = jnp.clip(yg - uv_off[..., 1] * h, 0, h - 1).astype(jnp.int32)
+    sx = jnp.clip(xg + uv_off[..., 0] * fw, 0, fw - 1).astype(jnp.int32)
+    sy = jnp.clip(yg - uv_off[..., 1] * fh, 0, fh - 1).astype(jnp.int32)
     ds = int(params.refraction_downsample)
+    # FLAT row gather: one linear index into [H*W, 3] rows. Value-identical
+    # to bg_color[sy, sx]; measured 16.9 -> 11.4 ms at 1080p on chip
+    # (scripts/render_roofline.py gather probes) — XLA lowers the 1-D row
+    # gather better than the 2-coordinate form.
+    bg_rows = bg_color.reshape(-1, 3)
     if ds > 1:
         # strided gather + nearest upsample (see SSFRParams doc); trailing
         # partial blocks clamp to the last full sample row/column
-        tsm = bg_color[sy[::ds, ::ds], sx[::ds, ::ds]]
+        lin = sy[::ds, ::ds] * fw + sx[::ds, ::ds]
+        tsm = bg_rows[lin]
         tsm = jnp.repeat(jnp.repeat(tsm, ds, axis=0), ds, axis=1)
         transmitted = tsm[:h, :w]
         if transmitted.shape[0] < h or transmitted.shape[1] < w:
@@ -298,7 +329,7 @@ def shade(
                  (0, w - transmitted.shape[1]), (0, 0)),
                 mode="edge")
     else:
-        transmitted = bg_color[sy, sx]
+        transmitted = bg_rows[sy * fw + sx]
 
     diffuse = np.asarray(params.diffuse_color, np.float32)
     t_beer = params.thickness if thickness is None else thickness[..., None]
@@ -312,7 +343,7 @@ def shade(
         + refl_color * fresnel[..., None]
         + spec[..., None]
     )
-    return jnp.where(live[..., None], color, bg_color), live
+    return jnp.where(live[..., None], color, bg_color_c), live
 
 
 def depth_debug_image(fluid_depth: jax.Array, params: SSFRParams) -> jax.Array:

@@ -70,19 +70,55 @@ def _rmw_kernel(x_ref, o_ref, gm, *, reps, aligned, support=3):
     # is the production 27-tap B-spline; support=4 models the AMORTIZED
     # MIGRATION proposal (VERDICT r4 weak #1: buckets allowed to go ±1 cell
     # stale between every-2nd-substep migrations -> the tap window relative
-    # to the bucket grows to 4^3 = 16 intra-plane rows x 4 target planes).
-    offs = (-1, 0, 1) if support == 3 else (-1, 0, 1, 2)
-    los = [H + dy * Z + dz for dy in offs for dz in offs]
+    # to the bucket grows to 4^3 = 16 intra-plane rows x 4 target planes);
+    # support=5 is the strict ±1-slack window ([floor-1, floor+1] taps from
+    # buckets that may themselves be off by ±1 -> 5 offsets per axis).
+    half = (support - 1) // 2
+    offs = tuple(range(-half, support - half))
+    base = max(H, 2 * Z + 2)
+    los = [base + dy * Z + dz for dy in offs for dz in offs]
     for r in range(reps):
         for i, lo in enumerate(los):
             off = 0 if aligned else lo
-            p = (t + (i % support) - 1)
+            p = (t + (i % support) - half)
             p = jnp.clip(p, 0, NX - 1)
             gm[p, off : off + PC] += row
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
-        o_ref[:] = gm[:, H : H + PC]
+        o_ref[:] = gm[:, base : base + PC]
+
+
+def _rmw_weighted_kernel(x_ref, o_ref, gm, *, reps, support):
+    """The COMPUTE-INCLUSIVE tap row: per row, a masked-weight evaluation on
+    the full [K, PC] block (2 FMAs — the per-axis weight-table product of
+    both the production wY*wZ scatter and the amortized-migration masked
+    formulation), a K-reduce, then the row RMW. This prices the amortized
+    proposal honestly: the pure-RMW probe (rmw/rmw4/rmw5) shows marginal
+    ROWS are nearly free (latency-bound), so the real marginal cost of a
+    wider tap window is this per-row compute."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        gm[:] = jnp.zeros_like(gm)
+
+    xs = x_ref[:]  # [K, PC]
+    half = (support - 1) // 2
+    offs = tuple(range(-half, support - half))
+    base = max(H, 2 * Z + 2)
+    los = [base + dy * Z + dz for dy in offs for dz in offs]
+    for r in range(reps):
+        for i, lo in enumerate(los):
+            w = xs * np.float32(0.25 + 0.001 * i) + np.float32(1e-4 * (r + 1))
+            w = w * xs
+            s = jnp.sum(w, axis=0)  # [PC]
+            p = jnp.clip(t + (i % support) - half, 0, NX - 1)
+            gm[p, lo : lo + PC] += s
+
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        o_ref[:] = gm[:, base : base + PC]
 
 
 def _rmw_split_kernel(x_ref, o_ref, gm, *, reps, ways):
@@ -248,9 +284,11 @@ def run(which: str):
             scratch_shapes=[pltpu.VMEM((K, PC), jnp.float32)],
         )
         ops = 2 * reps * K * PC * NX  # mul+add per element
-    elif which in ("rmw", "rmw_al", "rmw4"):
-        reps = 3  # 27 rows/plane, the kernel P mass-scatter count
-        support = 4 if which == "rmw4" else 3
+    elif which in ("rmw", "rmw_al", "rmw4", "rmw5"):
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        support = {"rmw4": 4, "rmw5": 5}.get(which, 3)
+        base = max(H, 2 * Z + 2)
+        wid = base + 2 * Z + 2 + PC + 2  # widest offset + row length
         f = pl.pallas_call(
             functools.partial(_rmw_kernel, reps=reps,
                               aligned=which == "rmw_al", support=support),
@@ -260,9 +298,27 @@ def run(which: str):
             out_specs=pl.BlockSpec((NX, PC), lambda t: (0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((NX, PC), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((NX, W), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((NX, wid), jnp.float32)],
         )
         ops = support * support * reps * PC * NX  # one add/element/row
+    elif which.startswith("rmww"):
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+        support = int(which[len("rmww"):] or 3)
+        base = max(H, 2 * Z + 2)
+        wid = base + 2 * Z + 2 + PC + 2
+        f = pl.pallas_call(
+            functools.partial(_rmw_weighted_kernel, reps=reps,
+                              support=support),
+            grid=(NX,),
+            in_specs=[pl.BlockSpec((K, PC), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((NX, PC), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((NX, PC), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((NX, wid), jnp.float32)],
+        )
+        # 3 FMA-ish ops on [K, PC] + K-reduce + row add, per row
+        ops = support * support * reps * (4 * K + 1) * PC * NX
     elif which.startswith("rmw_split"):
         ways = int(which[len("rmw_split"):] or 3)
         reps = 3

@@ -163,3 +163,16 @@ def test_cli_render_metrics_and_checkpoint(tmp_path):
         "--substeps", "1", "--width", "120", "--height", "80",
         "--out", str(out), "--resume", cks[0],
     ])
+
+
+def test_cli_run_guarded(tmp_path):
+    """--guard: the production failure-detection policy wraps the run loop
+    (utils/guard.GuardedStep); a healthy run reports zero failures."""
+    metrics = tmp_path / "m.jsonl"
+    main([
+        "run", "fluid_3d_cpu", "--frames", "3", "--mode", "bucketed",
+        "--substeps", "1", "--guard", "--guard-snapshot-every", "2",
+        "--guard-check-every", "1", "--metrics", str(metrics),
+    ])
+    text = metrics.read_text()
+    assert '"guard"' in text and '"failures": 0' in text

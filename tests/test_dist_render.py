@@ -138,7 +138,8 @@ def test_sharded_frame_thickness_pass():
 
     config, fluid, state = _scene()
     rc = RenderConfig(camera=Camera(width=128, height=96),
-                      ssfr=SSFRParams(thickness_pass=True))
+                      ssfr=SSFRParams(thickness_pass=True,
+                                      thickness_scale=0.3))
     view = jnp.asarray(look_at((40.0, 30.0, 40.0), (8.0, 6.0, 8.0)))
     bg = background_for_view(rc, view)
     b0 = jax.jit(lambda s: bucketed.from_simstate(s, config))(state)
