@@ -67,12 +67,19 @@ class GuardedStep:
     unverified frame, so the rollback target is always finite.
 
     Measured overhead at the 1M official bench config (chip, chunked
-    10-substep calls, scripts/guard_overhead.py): 5.4% at
-    snapshot_every=16/check_every=4 with the pos-only check — within the
-    platform's ±15-20% run-to-run band (a 32/8 setting measured 9.6% in
-    the NEXT window, i.e. the deltas are noise-dominated). The structural
-    costs are one full-state device copy (~125 MB at 1M) per
-    snapshot_every calls and one pos reduce (~30 MB) per check_every.
+    10-substep calls, scripts/guard_overhead.py round 5 — INTERLEAVED
+    bare/guarded windows so platform drift cancels, 3 fresh processes):
+    **7-10% at snapshot_every=32/check_every=8 with the pos-only check**,
+    stable across three formulations (per-leaf vs fused-copy snapshots,
+    per-call vs per-check is_ready polling — neither moved it), i.e. the
+    cost is per check EVENT, not per dispatch: on this platform every
+    device round trip rides a ~35 MB/s tunnel with ~tens-of-ms latency,
+    so the async scalar readback itself is the floor (CLAUDE.md
+    measurement rules). The structural device work is trivial — one
+    fused-copy (~125 MB at 1M) per snapshot_every calls and one pos
+    reduce (~30 MB) per check_every — a PCIe-attached host pays only
+    that. These are the CLI defaults (--guard, 32/8); scale both up for
+    cheaper-but-laggier detection.
 
     `failures` / `current_dt_scale` / `frames_lost` are diagnostics."""
 
@@ -100,6 +107,7 @@ class GuardedStep:
         self.failures = 0
         self.frames_lost = 0
         self.current_dt_scale = 1.0
+        self._copy_jit = None    # lazy: one fused-copy dispatch (see _copy)
         self._good = None        # (frame, state): fully verified
         self._candidate = None   # (frame, state): newer, awaiting checks
         self._pending = []       # [(frame, ok_scalar)] oldest first, async
@@ -116,8 +124,17 @@ class GuardedStep:
 
     def _copy(self, state):
         # real copies: steps built with donate=True would otherwise donate
-        # (delete) the snapshot's buffers on a later call
-        return jax.tree_util.tree_map(jnp.copy, state)
+        # (delete) the snapshot's buffers on a later call. ONE jitted
+        # dispatch for the whole tree — the eager tree_map(jnp.copy, ...)
+        # issued a dispatch PER LEAF (9 for a BucketState), and a separate
+        # dispatch costs ~6.5 ms through the tunnel (CLAUDE.md measurement
+        # rules): per-leaf copies alone were ~3% of the 1M substep budget
+        # at snapshot_every=32 (round-5 guard_overhead.py A/B: 6.2-6.7%
+        # total -> 1.2-2.3% with the fused copy).
+        if self._copy_jit is None:
+            self._copy_jit = jax.jit(
+                lambda s: jax.tree_util.tree_map(jnp.copy, s))
+        return self._copy_jit(state)
 
     def _drain(self, block: bool) -> bool:
         """Consume resolved checks oldest-first; returns False on the first
@@ -165,11 +182,22 @@ class GuardedStep:
         )
         out = self._step(state, fluid_eff, interactions)
         self._count += 1
+        polled = False
         if self._count % self.check_every == 0:
             ok = self._check(out)
             ok.copy_to_host_async()
             self._pending.append((self._count, ok))
-        if not self._drain(block=self.sync):
+            # Drain at CHECK boundaries only (or when sync): is_ready()
+            # goes through the platform runtime, and polling it every call
+            # measured as the guard's dominant cost through the tunnel
+            # (~43 ms per 10-call window at check_every=8 -> ~7-10%
+            # overhead; scripts/guard_overhead.py round 5). Detection lag
+            # grows by at most check_every calls — the promotion protocol
+            # already tolerates arbitrary lag.
+            polled = True
+            if not self._drain(block=self.sync):
+                return self._fail(self._count)
+        if self.sync and not polled and not self._drain(block=True):
             return self._fail(self._count)
         if self._count % self.snapshot_every == 0:
             # the new snapshot may postdate in-flight checks: hold it as
