@@ -349,6 +349,35 @@ def phase_pool(n_target=1_000_000):
     }]
 
 
+def _fit_surface_bands(state, grid_res, reach=2, margin=2):
+    """Fit the surface-band keep set (render/splat.extract_band_slot_splats)
+    to the settled pool: floor/walls are pinned by the reference's position
+    clamps (g2p.glsl:115-119) so bottom/side bands are the static reach+3
+    planes; the free surface moves, so the top band is searched upward until
+    the certificate counter (every live cell within `reach` cells of air is
+    kept) reads 0, then padded by `margin` planes for the measurement
+    windows' sloshing. Diagnostic pass — run OUTSIDE timed windows. Returns
+    None (render unbanded) if no band fits."""
+    jax = _jax()
+    from mpm_tpu.render.splat import surface_band_min_top
+
+    bf = bs = reach + 3
+    ny = grid_res[1]
+    bt = margin + int(np.asarray(jax.jit(
+        lambda s: surface_band_min_top(s, grid_res, bf, bs, reach))(state)))
+    if bt + bf >= ny:
+        print("# surface bands: no fit (surface spans the grid) — "
+              "rendering unbanded", file=sys.stderr)
+        return None
+    bands = (bt, bf, bs)
+    kept = 1.0 - (ny - bt - bf) * (grid_res[0] - 2 * bs) * (
+        grid_res[2] - 2 * bs) / (grid_res[0] * ny * grid_res[2])
+    print(f"# surface bands (top,bottom,side)={bands}: keep set = "
+          f"{kept:.0%} of grid slots, certificate asserted post-run",
+          file=sys.stderr)
+    return bands
+
+
 def phase_1080p(n_target=1_000_000):
     """The reference's own resolution: 1920x1080, particle-quality
     watertight recipe (ARCHITECTURE.md "1080p recipes"); value = the
@@ -359,21 +388,50 @@ def phase_1080p(n_target=1_000_000):
     (R=6 uncovers 1.35% of fluid pixels — not watertight) + refraction
     downsample 4 (37.7 dB PSNR vs the exact dependent gather, bounded and
     recorded in the JSON line; the exact-refraction frame is measured and
+    reported alongside) + surface-band slot extraction (only the grid
+    shell's slots feed the z-buffer; certificate asserted post-run, frame
+    delta vs the unbanded chain measured and recorded, unbanded frame
     reported alongside)."""
+    import dataclasses as dc
+
     from mpm_tpu.render import Camera, RenderConfig, SSFRParams
 
     scene, win, state, _ = _settled_pool(n_target)
     n = scene.config.num_particles
     substeps = scene.config.substeps
+    bands = _fit_surface_bands(state, win.config.grid_res)
     rc = _crop_rc(scene, RenderConfig(
         camera=Camera(width=1920, height=1080),
         quality="particle", max_radius_px=8,
-        ssfr=SSFRParams(refraction_downsample=4)))
+        ssfr=SSFRParams(refraction_downsample=4),
+        surface_bands=bands))
     frames = 10
     state, loop_times, dev_times = _render_loop(scene, win, state, rc,
                                                 frames, 2, "1080p")
     best, dev_ms = min(loop_times), min(dev_times)
     assert int(np.asarray(state.ceiling)) == 0
+    uncovered = band_delta = None
+    dev_unb = [None]
+    if bands is not None:
+        jax = _jax()
+        from mpm_tpu.render import surface_band_uncovered
+
+        # post-run certificate: the margined bands still cover every
+        # near-air cell after the measurement windows' sloshing
+        uncovered = int(np.asarray(jax.jit(lambda s: surface_band_uncovered(
+            s, win.config.grid_res, bands))(state)))
+        assert uncovered == 0, (
+            f"surface-band certificate fired post-run ({uncovered} "
+            "near-air cells outside the bands) — the banded frames are "
+            "not certified this run")
+        # unbanded variant (every slot feeds the z-buffer), device-only +
+        # a same-state frame delta: keeps the banded number honest
+        rc_unb = dc.replace(rc, surface_bands=None)
+        state, _, dev_unb = _render_loop(scene, win, state, rc_unb, 2, 1,
+                                         "1080p-unbanded")
+        band_delta = _frame_delta(scene, win, state, rc, rc_unb)
+        print(f"# banded vs unbanded frame max|delta|: {band_delta} LSB",
+              file=sys.stderr)
     # the exact-refraction variant (reference-exact dependent gather),
     # device-only: keeps the approximation honest in the artifact
     rc_exact = _crop_rc(scene, RenderConfig(
@@ -394,11 +452,44 @@ def phase_1080p(n_target=1_000_000):
             (max(dev_times) - min(dev_times)) / dev_med * 100.0, 1),
         "sustained_with_export": frames * substeps * n / best,
         "render_resolution": "1920x1080",
-        "render_quality": "particle(r=8, watertight, refraction ds=4)",
+        "render_quality": "particle(r=8, watertight, refraction ds=4, "
+                          "surface bands)",
         "fluid_crop": list(rc.crop) if rc.crop else None,
+        "surface_bands": list(bands) if bands else None,
+        "band_certificate_uncovered": uncovered,
+        "band_frame_max_abs_delta": band_delta,
+        "unbanded_frame_ms": min(dev_unb) if bands else None,
         "refraction_psnr_db_vs_exact": 37.7,  # scripts/render_roofline.py
         "exact_refraction_frame_ms": min(dev_exact),
     }]
+
+
+def _frame_delta(scene, win, state, rc_a, rc_b):
+    """max |u8 delta| between the two recipes' frames rendered from the SAME
+    state (donation off; compiles hit the persistent cache — both fns were
+    just measured). Untimed diagnostic."""
+    jax = _jax()
+    import jax.numpy as jnp
+
+    from mpm_tpu.render import default_view
+    from mpm_tpu.render.pipeline import (
+        background_for_view,
+        make_full_frame_step,
+    )
+
+    view = default_view(scene.config.grid_res)
+    interp = jax.default_backend() == "cpu"
+    substeps = scene.config.substeps
+    bg_a = background_for_view(rc_a, view)
+    bg_b = background_for_view(rc_b, view)
+    _, img_a = make_full_frame_step(win.config, rc_a, substeps, donate=False,
+                                    interpret=interp)(
+        state, scene.fluid, (), view, bg_a)
+    _, img_b = make_full_frame_step(win.config, rc_b, substeps, donate=False,
+                                    interpret=interp)(
+        state, scene.fluid, (), view, bg_b)
+    d = jnp.max(jnp.abs(img_a.astype(jnp.int32) - img_b.astype(jnp.int32)))
+    return int(np.asarray(d))
 
 
 PHASES = {"dynamic": phase_dynamic, "pool": phase_pool, "1080p": phase_1080p}

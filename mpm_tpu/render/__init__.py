@@ -14,6 +14,7 @@ from .pipeline import (
     render_frame,
     render_frame_buckets,
 )
+from .splat import extract_band_slot_splats, surface_band_uncovered
 from .ssfr import SSFRParams
 from .background import BackgroundScene
 from .image import write_png
@@ -37,4 +38,6 @@ __all__ = [
     "RENDER_LEGACY_QUAD",
     "RENDER_NONE",
     "legacy_quad_frame",
+    "extract_band_slot_splats",
+    "surface_band_uncovered",
 ]

@@ -70,6 +70,14 @@ class RenderConfig:
     # Applied on the DEFAULT-mode bucket path (the production chain);
     # debug/velocity/lit modes ignore it.
     crop: tuple[int, int, int, int] | None = None
+    # Surface-band slot extraction for quality="particle" (top, bottom,
+    # side) cell-plane thicknesses, or None = every slot: only slots in
+    # the grid SHELL feed the z-buffer — interior slots can never win the
+    # depth min for band-shaped fluid (pools), and the keep set is pure
+    # static slices (splat.extract_band_slot_splats; certificate counter
+    # splat.surface_band_uncovered must read 0 for the run). ~2.5-3x fewer
+    # scatter rows at the 1M bench shape.
+    surface_bands: tuple[int, int, int] | None = None
 
 
 def render_frame(
@@ -136,6 +144,9 @@ def render_frame_buckets(
     interpret: bool = False,
     bg: tuple[jax.Array, jax.Array] | None = None,
     num_particles: int | None = None,  # texture sizing for legacy_quad mode
+    grid_res: tuple[int, ...] | None = None,  # cell-axis factorization of
+    # the bucket arrays — required when rc.surface_bands is set (the band
+    # slices need [nx, ny, nz]; pass config.grid_res)
 ) -> jax.Array:
     """Bucket-state fast path: the Pallas extraction kernel reduces each
     CELL to its nearest live particle before the z-buffer sort (K times
@@ -174,7 +185,18 @@ def render_frame_buckets(
 
     tcells = None
     if rc.quality == "particle":
-        cells = extract_slot_splats(state, view, cam)
+        if rc.surface_bands is not None:
+            from .splat import extract_band_slot_splats
+
+            if grid_res is None:
+                raise ValueError(
+                    "rc.surface_bands needs grid_res (the band slices "
+                    "factor the cell axis as [nx, ny, nz]; pass "
+                    "config.grid_res)")
+            cells = extract_band_slot_splats(state, view, cam, grid_res,
+                                             rc.surface_bands)
+        else:
+            cells = extract_slot_splats(state, view, cam)
         if rc.ssfr.thickness_pass and rc.mode == RENDER_DEFAULT:
             # the thickness deposit is ADDITIVE and blurred, so it rides
             # count-weighted CELL-granularity splats (K× fewer scatter
@@ -363,15 +385,34 @@ def make_full_frame_step(config, rc: RenderConfig, substeps: int,
     a single computation — (state, fluid, interactions, view, bg) ->
     (state, u8 frame). One host dispatch per frame: a separate renderer jit
     call costs ~7 ms through the tunnel (ARCHITECTURE.md
-    "Platform gotchas")."""
+    "Platform gotchas").
+
+    quality="particle" z-buffers slot-granularity splats extracted from the
+    post-step state inside the same jit (with rc.surface_bands, only the
+    grid shell's slots — splat.extract_band_slot_splats); the kernel-F
+    cell splats still serve the additive thickness pass. (Until round 5
+    this path silently rendered the CELL splats whatever rc.quality said —
+    tests/test_band_extract.py pins the fix against render_frame_buckets.)"""
     step = emitting_frame_fn(config, rc.camera, substeps, interpret)
 
     def fn(state, fp, inter, view, bg):
         state, cells = step(state, fp, inter, view)
         # bg=None -> the ray-traced background is recomputed per frame
         # (moving-camera loops); static-camera loops pass the cached pair
-        img = render_frame_cells(cells, view, rc,
-                                 cubemap_faces=cubemap_faces, bg=bg)
+        if rc.quality == "particle":
+            from .splat import extract_band_slot_splats, extract_slot_splats
+
+            slots = (
+                extract_band_slot_splats(state, view, rc.camera,
+                                         config.grid_res, rc.surface_bands)
+                if rc.surface_bands is not None
+                else extract_slot_splats(state, view, rc.camera))
+            img = render_frame_cells(slots, view, rc,
+                                     cubemap_faces=cubemap_faces, bg=bg,
+                                     thickness_cells=cells)
+        else:
+            img = render_frame_cells(cells, view, rc,
+                                     cubemap_faces=cubemap_faces, bg=bg)
         return state, frame_to_u8(img)
 
     if donate:

@@ -41,6 +41,25 @@ class SplatBuffers(NamedTuple):
     sy: jax.Array | None = None
 
 
+def _slot_rows(pos, vel, mass, view: jax.Array, cam: Camera) -> jax.Array:
+    """Shared slot-splat row math: ([3, ...], [3, ...], [...]) bucket
+    fields -> [5, M] (pixel x, pixel y, linear depth, |vel|, live) rows.
+    Factored so the full and surface-band extractions are op-identical
+    (the band frame == full frame tests rely on bitwise-equal candidates)."""
+    from .extract_kernel import CELL_BG
+
+    pos = pos.reshape(3, -1)
+    vel = vel.reshape(3, -1).astype(jnp.float32)
+    occ = mass.reshape(-1) > 0
+    px, py, depth = view_to_screen(
+        world_to_view(pos, view.astype(jnp.float32)), cam)
+    vmag = jnp.sqrt(vel[0] ** 2 + vel[1] ** 2 + vel[2] ** 2)
+    valid = occ & (depth > cam.near)
+    return jnp.stack(
+        [px, py, jnp.where(valid, depth, CELL_BG), vmag,
+         valid.astype(jnp.float32)])
+
+
 def extract_slot_splats(state, view: jax.Array, cam: Camera) -> jax.Array:
     """[5, K*C]: (pixel x, pixel y, linear depth, |vel|, live count) of
     EVERY live slot of a BucketState — the full-fidelity input to
@@ -50,18 +69,125 @@ def extract_slot_splats(state, view: jax.Array, cam: Camera) -> jax.Array:
     is no per-cell reduce, so no Pallas kernel is needed. Empty/
     behind-camera slots get depth CELL_BG (the splat_cells mask
     sentinel)."""
-    from .extract_kernel import CELL_BG
+    return _slot_rows(state.pos, state.vel, state.mass, view, cam)
 
-    pos = state.pos.reshape(3, -1)
-    vel = state.vel.reshape(3, -1).astype(jnp.float32)
-    occ = state.mass.reshape(-1) > 0
-    px, py, depth = view_to_screen(
-        world_to_view(pos, view.astype(jnp.float32)), cam)
-    vmag = jnp.sqrt(vel[0] ** 2 + vel[1] ** 2 + vel[2] ** 2)
-    valid = occ & (depth > cam.near)
-    return jnp.stack(
-        [px, py, jnp.where(valid, depth, CELL_BG), vmag,
-         valid.astype(jnp.float32)])
+
+def _band_slices(grid_res, bands):
+    """The six cell-space slices of the surface-band keep set, or None when
+    the bands cover (nearly) the whole grid — each slice is
+    (x slice, y slice, z slice) over the [nx, ny, nz] cell axes; the union
+    is the 'shell' of the grid: bf bottom y-planes, bt top y-planes, and
+    bs-thick x/z wall faces of the middle. Disjoint by construction (the
+    z-buffer min would tolerate duplicates, but disjoint slices keep the
+    row count minimal)."""
+    nx, ny, nz = grid_res
+    bt, bf, bs = bands
+    if bf + bt >= ny or 2 * bs >= min(nx, nz):
+        return None
+    ymid = slice(bf, ny - bt)
+    return [
+        (slice(None), slice(0, bf), slice(None)),
+        (slice(None), slice(ny - bt, ny), slice(None)),
+        (slice(0, bs), ymid, slice(None)),
+        (slice(nx - bs, nx), ymid, slice(None)),
+        (slice(bs, nx - bs), ymid, slice(0, bs)),
+        (slice(bs, nx - bs), ymid, slice(nz - bs, nz)),
+    ]
+
+
+def extract_band_slot_splats(state, view: jax.Array, cam: Camera,
+                             grid_res, bands) -> jax.Array:
+    """Surface-band slot extraction: [5, M] splat rows of every slot in the
+    grid's SHELL — `bands` = (top, bottom, side) cell-plane thicknesses:
+    the bottom/top y bands plus bs-thick x/z wall-face bands.
+
+    Rationale (the render roofline's "fewer scatter rows" lever,
+    ARCHITECTURE.md): a slot strictly interior to the fluid can never win
+    the min-depth z-buffer — every ray reaching it crosses >= the band's
+    thickness of closer particles first — and for band-shaped fluid
+    (pools, the official bench scene) every fluid-air interface lies in
+    the grid shell: the air-window engine already crops the y-extent to
+    the occupied range, so the free surface sits in the top band, and the
+    reference's wall clamps (g2p.glsl:115-119) pin the other five faces to
+    the walls. The keep set is a union of static SLICES — no gathers, no
+    compaction (both serial on this platform) — cutting the per-slot
+    z-buffer's scatter rows ~2.5-3x at the 1M bench shape.
+
+    `surface_band_uncovered` is the certificate: the count of live cells
+    within `reach` cells of air that the bands do NOT cover (0 == every
+    near-surface particle was kept; interior-only culling). Scenes with
+    interior air pockets (e.g. a collider crater) fire the counter and
+    should render with surface_bands=None."""
+    sl = _band_slices(grid_res, bands)
+    if sl is None:
+        return extract_slot_splats(state, view, cam)
+    nx, ny, nz = grid_res
+    k = state.mass.shape[0]
+
+    def shell(a, lead):
+        a = a.reshape(*lead, k, nx, ny, nz)
+        parts = [a[..., xs, ys, zs].reshape(*lead, k, -1)
+                 for xs, ys, zs in sl]
+        return jnp.concatenate(parts, axis=-1)
+
+    return _slot_rows(shell(state.pos, (3,)), shell(state.vel, (3,)),
+                      shell(state.mass, ()), view, cam)
+
+
+def _surface_cells(state, grid_res, reach: int):
+    """[nx, ny, nz] bool: live cells within `reach` cells of air
+    (6-neighborhood, array edges count as air) — the set every band keep
+    set must contain."""
+    nx, ny, nz = grid_res
+    live = (state.mass > 0).any(axis=0).reshape(nx, ny, nz)
+    near = jnp.logical_not(live)  # air
+    for _ in range(reach):
+        p = jnp.pad(near, 1, constant_values=True)
+        near = (near
+                | p[:-2, 1:-1, 1:-1] | p[2:, 1:-1, 1:-1]
+                | p[1:-1, :-2, 1:-1] | p[1:-1, 2:, 1:-1]
+                | p[1:-1, 1:-1, :-2] | p[1:-1, 1:-1, 2:])
+    return live & near
+
+
+def surface_band_uncovered(state, grid_res, bands, reach: int = 2):
+    """Certificate counter for extract_band_slot_splats: live cells within
+    `reach` cells of air (6-neighborhood, array edges count as air) that
+    the bands do not cover. 0 certifies the band render's keep set
+    contains the entire fluid-air interface plus a reach-deep margin —
+    i.e. only >= reach-deep interior slots were culled. Cheap elementwise
+    pass over [nx, ny, nz] bools; run it OUTSIDE timed windows (it is a
+    diagnostic, not a render pass)."""
+    nx, ny, nz = grid_res
+    surface = _surface_cells(state, grid_res, reach)
+    bt, bf, bs = bands
+    ix = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 2)
+    in_band = ((iy < bf) | (iy >= ny - bt)
+               | (ix < bs) | (ix >= nx - bs)
+               | (iz < bs) | (iz >= nz - bs))
+    return jnp.sum((surface & jnp.logical_not(in_band)).astype(jnp.int32))
+
+
+def surface_band_min_top(state, grid_res, bf: int, bs: int,
+                         reach: int = 2) -> jax.Array:
+    """Minimal top-band thickness bt (traced int32 scalar) such that
+    surface_band_uncovered(state, grid_res, (bt, bf, bs), reach) == 0 given
+    the bottom/side thicknesses — i.e. ny minus the lowest y of any surface
+    cell the bottom/side bands don't already cover (0 when they cover
+    everything). ONE jit + ONE scalar readback fits the band; a search over
+    candidate bt values would recompile the counter per candidate (band
+    thicknesses are trace-time constants on the render path)."""
+    nx, ny, nz = grid_res
+    surface = _surface_cells(state, grid_res, reach)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (nx, ny, nz), 2)
+    mid = (surface & (iy >= bf)
+           & (ix >= bs) & (ix < nx - bs)
+           & (iz >= bs) & (iz < nz - bs))
+    return ny - jnp.min(jnp.where(mid, iy, ny))
 
 
 def _point_deposit(
